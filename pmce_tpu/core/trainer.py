@@ -1,0 +1,314 @@
+"""Training / evaluation runtime: jitted steps, epoch loops, checkpoints.
+
+Runtime parity targets:
+- Trainer/Tester epoch loops and the 6-term mesh loss:
+  /root/reference/lib/core/base.py:94-263;
+- LiftTrainer/LiftTester (Stage-1 standalone): base.py:266-388;
+- checkpoint payload/selection: main/train.py:43-64, funcs_utils.py:111-128.
+
+TPU-first differences from the reference:
+- the whole optimization step (forward, loss, backward, Adam update) is ONE
+  jitted function; with a device mesh it is sharded data-parallel over the
+  ``data`` axis and XLA inserts the gradient all-reduce;
+- host batches stream through a double-buffered prefetcher so H2D overlaps
+  compute;
+- eval metrics (root-aligned MPJPE/MPVPE) are computed on device in the
+  same jitted eval step instead of per-batch numpy on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from pmce_tpu.core.config import Config
+from pmce_tpu.core.losses import coord_l1, pmce_total_loss
+from pmce_tpu.core.optim import build_optimizer
+from pmce_tpu.core import checkpoint as ckpt_lib
+from pmce_tpu.parallel import mesh as mesh_lib
+from pmce_tpu.parallel.prefetch import prefetch_to_device
+
+_HI = jax.lax.Precision.HIGHEST
+
+# H36M protocol eval joints (reference data/Human36M/dataset.py:62).
+H36M_EVAL_JOINTS = (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_pmce_train_step(model, tx, faces: jax.Array,
+                         J_reg_target: jax.Array,
+                         normal_weight: float, edge_weight: float,
+                         joint_weight: float) -> Callable:
+    """Build the jitted PMCE optimization step."""
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array,
+                edge_gate: jax.Array):
+        def loss_fn(params):
+            d_rng, p_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step))
+            mesh, evo, pose3d = model.apply(
+                {"params": params}, batch["pose2d"], batch["img_feature"],
+                deterministic=False,
+                rngs={"dropout": d_rng, "droppath": p_rng})
+            total, terms = pmce_total_loss(
+                mesh, evo, pose3d,
+                batch["mesh"], batch["lift_pose3d"], batch["reg_pose3d"],
+                batch["mesh_valid"], batch["lift_pose3d_valid"],
+                batch["reg_pose3d_valid"],
+                faces, J_reg_target,
+                normal_weight, edge_weight, joint_weight, edge_gate)
+            return total, terms
+
+        (loss, terms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            loss, terms,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_pmce_eval_step(model, J_reg_target: jax.Array) -> Callable:
+    """Jitted eval step: predictions + the reference's batch metrics.
+
+    Metric parity: ``compute_both_err``
+    (/root/reference/data/Human36M/dataset.py:611-623): mesh and joints
+    root-aligned by the PREDICTED/GT joint 0, joint error over the 14 H36M
+    eval joints, mesh error over all vertices, in millimeters.
+    """
+    eval_idx = jnp.asarray(H36M_EVAL_JOINTS)
+
+    def eval_fn(params, batch):
+        mesh, evo, pose3d = model.apply(
+            {"params": params}, batch["pose2d"], batch["img_feature"])
+        pred_mesh = mesh * 1000.0
+        gt_mesh = batch["mesh"] * 1000.0
+        pred_joint = jnp.einsum("jv,bvk->bjk", J_reg_target, pred_mesh,
+                                precision=_HI)
+        gt_joint = batch["reg_pose3d"]
+
+        pm = pred_mesh - pred_joint[:, :1]
+        gm = gt_mesh - gt_joint[:, :1]
+        pj = pred_joint - pred_joint[:, :1]
+        gj = gt_joint - gt_joint[:, :1]
+        pj = pj[:, eval_idx]
+        gj = gj[:, eval_idx]
+        mesh_err = jnp.mean(
+            jnp.sqrt(jnp.sum((pm - gm) ** 2, axis=-1)))
+        joint_err = jnp.mean(
+            jnp.sqrt(jnp.sum((pj - gj) ** 2, axis=-1)))
+        return {
+            "pred_mesh": pred_mesh, "pred_joint": pred_joint,
+            "pose3d": pose3d, "mesh_err": mesh_err, "joint_err": joint_err,
+        }
+
+    return jax.jit(eval_fn)
+
+
+def make_lift_train_step(model, tx) -> Callable:
+    """Stage-1 (pose lifter) step: single masked CoordLoss on the mid pose."""
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        def loss_fn(params):
+            d_rng, p_rng = jax.random.split(jax.random.fold_in(
+                rng, state.step))
+            pred = model.apply(
+                {"params": params}, batch["pose2d"], batch["img_feature"],
+                deterministic=False,
+                rngs={"dropout": d_rng, "droppath": p_rng})
+            return coord_l1(pred, batch["lift_pose3d"],
+                            batch["lift_pose3d_valid"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state,
+                       step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_lift_eval_step(model) -> Callable:
+    """Root-aligned MPJPE over the H36M eval joints (base.py:600-609)."""
+    eval_idx = jnp.asarray(H36M_EVAL_JOINTS)
+
+    def eval_fn(params, batch):
+        pred = model.apply(
+            {"params": params}, batch["pose2d"], batch["img_feature"])
+        gt = batch["lift_pose3d"]
+        p = (pred - pred[:, :1])[:, eval_idx]
+        g = (gt - gt[:, :1])[:, eval_idx]
+        err = jnp.mean(jnp.sqrt(jnp.sum((p - g) ** 2, axis=-1)))
+        return {"pred_joint": pred, "joint_err": err}
+
+    return jax.jit(eval_fn)
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch-loop orchestration for PMCE (mesh) or PoseEst (lift) training."""
+
+    cfg: Config
+    model: Any
+    train_data: Any               # object with sample_batch()/epoch iter
+    test_data: Any | None
+    faces: np.ndarray
+    J_reg_target: np.ndarray
+    ckpt_dir: str = ""
+    mesh: Any = None              # jax device mesh; None = single device
+    log_fn: Callable = print
+
+    def __post_init__(self):
+        tcfg = self.cfg.TRAIN
+        self.steps_per_epoch = (
+            tcfg.steps_per_epoch
+            or max(1, len(self.train_data) // tcfg.batch_size)
+        )
+        self.tx = build_optimizer(tcfg, self.steps_per_epoch)
+        self.is_mesh_model = self.cfg.MODEL.name == "PMCE"
+        self.loss_history: list = []
+        self.error_history: dict = {"surface": [], "joint": []}
+        self._rng = jax.random.PRNGKey(tcfg.seed)
+
+        if self.is_mesh_model:
+            self.train_step = make_pmce_train_step(
+                self.model, self.tx, jnp.asarray(self.faces),
+                jnp.asarray(self.J_reg_target),
+                self.cfg.MODEL.normal_loss_weight,
+                self.cfg.MODEL.edge_loss_weight,
+                self.cfg.MODEL.joint_loss_weight)
+            self.eval_step = make_pmce_eval_step(
+                self.model, jnp.asarray(self.J_reg_target))
+        else:
+            self.train_step = make_lift_train_step(self.model, self.tx)
+            self.eval_step = make_lift_eval_step(self.model)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, sample_batch: dict) -> TrainState:
+        params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self.cfg.TRAIN.seed),
+            jnp.asarray(sample_batch["pose2d"]),
+            jnp.asarray(sample_batch["img_feature"]))["params"]
+        opt_state = jax.jit(self.tx.init)(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = mesh_lib.replicate(self.mesh, state)
+        return state
+
+    # --------------------------------------------------------------- train
+    def _batch_iter(self, epoch: int):
+        tcfg = self.cfg.TRAIN
+        for _ in range(self.steps_per_epoch):
+            yield self.train_data.sample_batch(tcfg.batch_size)
+
+    def train_epoch(self, state: TrainState, epoch: int):
+        tcfg = self.cfg.TRAIN
+        edge_gate = jnp.asarray(
+            1.0 if epoch > tcfg.edge_loss_start else 0.0)
+        sharding = (mesh_lib.batch_sharding(self.mesh)
+                    if self.mesh is not None else None)
+        rng = jax.random.fold_in(self._rng, epoch)
+
+        running = 0.0
+        n = 0
+        t0 = time.time()
+        for batch in prefetch_to_device(
+                self._batch_iter(epoch), sharding=sharding):
+            if self.is_mesh_model:
+                state, loss, _terms = self.train_step(
+                    state, batch, rng, edge_gate)
+            else:
+                state, loss = self.train_step(state, batch, rng)
+            running += float(loss)
+            n += 1
+        dt = time.time() - t0
+        avg = running / max(n, 1)
+        self.loss_history.append(avg)
+        self.log_fn(
+            f"Epoch {epoch}: loss {avg:.4f} "
+            f"({n} steps, {n * tcfg.batch_size / max(dt, 1e-9):.0f} "
+            f"samples/s)")
+        return state
+
+    # ---------------------------------------------------------------- eval
+    def evaluate(self, state: TrainState, collect: bool = False):
+        tcfg = self.cfg.TEST
+        from pmce_tpu.data.clip_dataset import epoch_iterator
+
+        surface_err, joint_err, n = 0.0, 0.0, 0
+        results = []
+        for batch in epoch_iterator(self.test_data, tcfg.batch_size,
+                                    shuffle=False, seed=0):
+            out = self.eval_step(state.params, jax.device_put(batch))
+            joint_err += float(out["joint_err"])
+            if self.is_mesh_model:
+                surface_err += float(out["mesh_err"])
+            n += 1
+            if collect:
+                pred_mesh = np.asarray(out.get("pred_mesh", 0))
+                pred_joint = np.asarray(out["pred_joint"])
+                for j in range(len(batch["pose2d"])):
+                    rec = {"joint_coord": pred_joint[j]}
+                    if self.is_mesh_model:
+                        rec["mesh_coord"] = pred_mesh[j]
+                        rec["mesh_coord_target"] = batch["mesh"][j] * 1000.0
+                        rec["joint_coord_target"] = batch["reg_pose3d"][j]
+                    else:
+                        rec["joint_coord_target"] = batch["lift_pose3d"][j]
+                    results.append(rec)
+        joint_err /= max(n, 1)
+        surface_err /= max(n, 1)
+        self.error_history["joint"].append(joint_err)
+        self.error_history["surface"].append(surface_err)
+        self.log_fn(f"Eval: MPJPE {joint_err:.2f} mm"
+                    + (f", MPVPE {surface_err:.2f} mm"
+                       if self.is_mesh_model else ""))
+        return (joint_err, surface_err, results)
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, state: TrainState | None = None) -> TrainState:
+        tcfg = self.cfg.TRAIN
+        if state is None:
+            state = self.init_state(
+                self.train_data.sample_batch(tcfg.batch_size))
+        best = np.inf
+        for epoch in range(tcfg.begin_epoch, tcfg.end_epoch + 1):
+            state = self.train_epoch(state, epoch)
+            if self.test_data is not None:
+                joint_err, _, _ = self.evaluate(state)[0:3]
+            else:
+                joint_err = np.inf
+            if self.ckpt_dir:
+                is_best = joint_err < best
+                best = min(best, joint_err)
+                ckpt_lib.save_checkpoint(
+                    self.ckpt_dir, epoch, tcfg.end_epoch,
+                    {
+                        "params": jax.device_get(state.params),
+                        "opt_state": jax.device_get(state.opt_state),
+                        "train_log": self.loss_history,
+                        "test_log": self.error_history,
+                    },
+                    is_best=is_best)
+        return state

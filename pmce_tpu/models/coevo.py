@@ -1,0 +1,175 @@
+"""Stage-2 pose↔mesh co-evolution decoder.
+
+Architecture parity target: /root/reference/lib/models/CoevoDecoder.py
+(classes ``CoevoBlock`` and ``Pose2Mesh``):
+
+- a 2-layer bidirectional GRU aggregates the T per-frame 2048-d image
+  features; the mid-frame output (2048-d) conditions every AdaLayerNorm and
+  the three per-axis residual heads;
+- 431 coarse mesh vertices are initialized by copying each vertex's nearest
+  template joint from the lifted pose (static gather indices precomputed
+  from the template mesh);
+- three CoevoBlocks run bidirectional joint↔vertex cross-attention with
+  separate learned Q/K embeddings and per-stream AdaLayerNorm, then
+  self-attention + FFN per stream, then project features back to 3D
+  coordinate residuals;
+- deliberate reference quirks preserved: every CoevoBlock consumes the
+  ORIGINAL lifted joints (only the vertex stream chains through blocks,
+  CoevoDecoder.py:235-237), and both cross-attentions read the PRE-update
+  features of the other stream (simultaneous update, CoevoDecoder.py:183-184);
+- a Conv1d(431→6890, k=3) over the coordinate axis upsamples the coarse
+  vertices, and three Linear(2048→6890) heads add per-axis residuals from
+  the ReLU'd GRU feature.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pmce_tpu.models.layers import (
+    AdaBlock,
+    BiGRU,
+    CrossAttentionBlock,
+)
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class CoevoBlock(nn.Module):
+    """One co-evolution step between joint and vertex token streams."""
+
+    num_joint: int
+    num_vertx: int
+    joint_dim: int = 64
+    vertx_dim: int = 64
+    joint_heads: int = 8
+    vertx_heads: int = 2
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.2
+
+    @nn.compact
+    def __call__(self, joint: jax.Array, vertx: jax.Array, cond: jax.Array,
+                 deterministic: bool = True):
+        """joint: [B, J, 3]; vertx: [B, V, 3]; cond: [B, 2048]."""
+        init = nn.initializers.normal(1.0)
+        joint_pos = self.param("joint_pos_embed", init,
+                               (1, self.num_joint, self.joint_dim))
+        vertx_pos = self.param("vertx_pos_embed", init,
+                               (1, self.num_vertx, self.vertx_dim))
+        j_Q = self.param("j_Q_embed", init,
+                         (1, self.num_joint, self.joint_dim))
+        v_Q = self.param("v_Q_embed", init,
+                         (1, self.num_vertx, self.vertx_dim))
+        v2j_K = self.param("v2j_K_embed", init,
+                           (1, self.num_vertx, self.joint_dim))
+        j2v_K = self.param("j2v_K_embed", init,
+                           (1, self.num_joint, self.vertx_dim))
+
+        joint_feat = nn.Dense(self.joint_dim, name="joint_proj")(joint)
+        vertx_feat = nn.Dense(self.vertx_dim, name="vertx_proj")(vertx)
+        joint_feat = joint_feat + joint_pos
+        vertx_feat = vertx_feat + vertx_pos
+
+        # Simultaneous cross-attention update: both directions read the
+        # PRE-update features of the other stream.
+        v_as_j = nn.Dense(self.joint_dim, name="proj_v2j_dim")(vertx_feat)
+        j_as_v = nn.Dense(self.vertx_dim, name="proj_j2v_dim")(joint_feat)
+        joint_new = CrossAttentionBlock(
+            q_dim=self.joint_dim, k_dim=self.joint_dim, v_dim=self.vertx_dim,
+            num_heads=self.joint_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=True, drop_path=self.drop_path, name="joint_CA_FFN",
+        )(joint_feat + j_Q, v_as_j + v2j_K, vertx_feat, cond, deterministic)
+        vertx_new = CrossAttentionBlock(
+            q_dim=self.vertx_dim, k_dim=self.vertx_dim, v_dim=self.joint_dim,
+            num_heads=self.vertx_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=True, drop_path=self.drop_path, name="vertx_CA_FFN",
+        )(vertx_feat + v_Q, j_as_v + j2v_K, joint_feat, cond, deterministic)
+
+        joint_new = AdaBlock(
+            self.joint_dim, self.joint_heads, self.mlp_ratio, qkv_bias=True,
+            drop_path=self.drop_path, name="joint_SA_FFN",
+        )(joint_new, cond, deterministic)
+        vertx_new = AdaBlock(
+            self.vertx_dim, self.vertx_heads, self.mlp_ratio, qkv_bias=True,
+            drop_path=self.drop_path, name="vertx_SA_FFN",
+        )(vertx_new, cond, deterministic)
+
+        joint_out = (
+            nn.Dense(3, name="proj_joint_feat2coor")(joint_new) + joint[..., :3]
+        )
+        vertx_out = (
+            nn.Dense(3, name="proj_vertx_feat2coor")(vertx_new) + vertx[..., :3]
+        )
+        return joint_out, vertx_out
+
+
+class CoevolutionDecoder(nn.Module):
+    """Pose + image features → full-resolution mesh (meters).
+
+    Args (static config):
+      num_joint: lifted-pose joint count (17 h36m / 19 coco).
+      num_vertx: coarse mesh size (431).
+      num_verts_full: output mesh size (6890).
+      vj_relation: length-``num_vertx`` tuple mapping each coarse vertex to
+        its nearest template joint (precomputed from the template mesh and
+        the H36M joint regressor, reference CoevoDecoder.py:206-209).
+    """
+
+    num_joint: int
+    vj_relation: tuple
+    num_vertx: int = 431
+    num_verts_full: int = 6890
+    joint_dim: int = 64
+    vertx_dim: int = 64
+    num_blocks: int = 3
+    gru_hidden: int = 1024
+    seqlen: int = 16
+
+    @nn.compact
+    def __call__(self, joints: jax.Array, img_feats: jax.Array,
+                 deterministic: bool = True):
+        """joints: [B, J, 3] (meters); img_feats: [B, T, 2048].
+
+        Returns:
+          (evo_pose [B, J, 3], mesh [B, 6890, 3]) in meters.
+        """
+        B = joints.shape[0]
+
+        # Temporal aggregation: BiGRU over T, take the mid-frame output.
+        y = BiGRU(self.gru_hidden, num_layers=2, name="gru_cur")(
+            jnp.swapaxes(img_feats, 0, 1)
+        )                                             # [T, B, 2048]
+        cond = y[self.seqlen // 2]                    # [B, 2048]
+
+        # Initialize each coarse vertex at its nearest template joint.
+        rel = jnp.asarray(self.vj_relation, jnp.int32)
+        vertx = joints[:, rel, :3]                    # [B, V, 3]
+
+        # Every block re-consumes the ORIGINAL lifted joints (reference
+        # quirk); only vertices evolve through the chain.
+        evo_pose = joints
+        for i in range(self.num_blocks):
+            evo_pose, vertx = CoevoBlock(
+                self.num_joint, self.num_vertx, self.joint_dim,
+                self.vertx_dim, name=f"coevoblock{i + 1}",
+            )(joints, vertx, cond, deterministic)
+
+        # Conv1d(431→6890, k=3, pad 1) over the coordinate axis: treat the
+        # 431 vertices as channels and x/y/z as the length-3 spatial dim.
+        mesh = nn.Conv(
+            features=self.num_verts_full, kernel_size=(3,), padding=1,
+            name="upsample_conv",
+        )(vertx.transpose(0, 2, 1)).transpose(0, 2, 1)  # [B, 6890, 3]
+
+        # Per-axis residuals from the ReLU'd GRU mid feature.
+        feat = jax.nn.relu(cond)
+        res = jnp.stack(
+            [
+                nn.Dense(self.num_verts_full, name=f"linear_cur{i + 1}")(feat)
+                for i in range(3)
+            ],
+            axis=-1,
+        )                                             # [B, 6890, 3]
+        return evo_pose, mesh + res

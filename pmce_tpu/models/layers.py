@@ -1,0 +1,303 @@
+"""Transformer building blocks shared by the pose lifter and the decoder.
+
+Semantics parity targets (architecture, not code) in the reference repo:
+- pre-norm Block (LN → MHA → residual → LN → MLP → residual), timm-style
+  fused-qkv attention: /root/reference/lib/models/PoseEstimation.py:13-29 and
+  CoevoDecoder.py:89-131.
+- AdaLayerNorm — LayerNorm whose γ/β come from a Linear of the conditioning
+  image feature; note the reference normalizes with the UNBIASED std and adds
+  eps OUTSIDE the sqrt: /root/reference/lib/models/CoevoDecoder.py:16-29.
+- CrossAttention with separate Wq/Wk/Wv and a value dim that may differ from
+  the query dim: /root/reference/lib/models/CoevoDecoder.py:31-62.
+- DropPath (per-sample stochastic depth), active only in training.
+
+All dropout/drop-path is disabled when ``deterministic=True`` (inference),
+matching the reference's ``model.eval()`` semantics. GELU is the exact (erf)
+variant — torch's default — not jax's tanh approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def exact_gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape=shape)
+        return x / keep * mask.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """Linear → GELU → Linear, timm layout."""
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = exact_gelu(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_dim, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with a fused qkv projection (timm layout)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, N, C = x.shape
+        H = self.num_heads
+        dh = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          precision=jax.lax.Precision.HIGHEST) * dh ** -0.5
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (LayerNorm → MHA → LN → MLP)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    norm_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, self.qkv_bias,
+                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                name="mlp")(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return x
+
+
+class AdaLayerNorm(nn.Module):
+    """LayerNorm with γ/β regressed from a conditioning feature.
+
+    Preserves the reference's exact normalization: unbiased std over the
+    channel axis and ``(std + eps)`` in the denominator (not sqrt(var+eps)).
+    """
+
+    num_features: int
+    cond_dim: int = 2048
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
+        gamma = nn.Dense(self.num_features, name="mlp_gamma")(cond)
+        beta = nn.Dense(self.num_features, name="mlp_beta")(cond)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        n = x.shape[-1]
+        var = jnp.var(x, axis=-1, keepdims=True) * (n / (n - 1))
+        std = jnp.sqrt(var)
+        return (
+            gamma[:, None, :] * (x - mean) / (std + self.eps)
+            + beta[:, None, :]
+        )
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention with distinct query/key/value streams.
+
+    The value stream may have a different channel width (``v_dim``) than the
+    query/key streams (``dim``); the output projection maps v_dim → dim.
+    """
+
+    dim: int
+    v_dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, xq: jax.Array, xk: jax.Array, xv: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        B, N, C = xq.shape
+        M = xk.shape[1]
+        H = self.num_heads
+        dh = C // H
+        dv = self.v_dim // H
+
+        q = nn.Dense(C, use_bias=self.qkv_bias, name="wq")(xq)
+        k = nn.Dense(C, use_bias=self.qkv_bias, name="wk")(xk)
+        v = nn.Dense(self.v_dim, use_bias=self.qkv_bias, name="wv")(xv)
+        q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, M, H, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, M, H, dv).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          precision=jax.lax.Precision.HIGHEST) * dh ** -0.5
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.v_dim)
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class AdaBlock(nn.Module):
+    """Self-attention block whose norms are AdaLayerNorms (conditioned)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        h = AdaLayerNorm(self.dim, name="norm1")(x, cond)
+        h = Attention(self.dim, self.num_heads, self.qkv_bias,
+                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = AdaLayerNorm(self.dim, name="norm2")(x, cond)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                name="mlp")(h, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return x
+
+
+class CrossAttentionBlock(nn.Module):
+    """Cross-attention + FFN with AdaLayerNorm conditioning on all streams."""
+
+    q_dim: int
+    k_dim: int
+    v_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, xq: jax.Array, xk: jax.Array, xv: jax.Array,
+                 cond: jax.Array, deterministic: bool = True) -> jax.Array:
+        nq = AdaLayerNorm(self.q_dim, name="normq")(xq, cond)
+        nk = AdaLayerNorm(self.k_dim, name="normk")(xk, cond)
+        nv = AdaLayerNorm(self.v_dim, name="normv")(xv, cond)
+        h = CrossAttention(self.q_dim, self.v_dim, self.num_heads,
+                           self.qkv_bias, self.attn_drop, self.drop,
+                           name="attn")(nq, nk, nv, deterministic)
+        xq = xq + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+        h = AdaLayerNorm(self.q_dim, name="norm2")(xq, cond)
+        h = Mlp(int(self.q_dim * self.mlp_ratio), self.q_dim, self.drop,
+                name="mlp")(h, deterministic)
+        xq = xq + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return xq
+
+
+class BiGRU(nn.Module):
+    """Multi-layer bidirectional GRU over the leading time axis.
+
+    Torch gate conventions (reset/update/new ordering, separate input and
+    hidden biases, ``n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))``) so that
+    reference GRU checkpoints import directly. Scans with ``nn.RNN`` /
+    ``lax.scan`` — static T, XLA-friendly.
+
+    Parity target: the ``nn.GRU(2048, 1024, bidirectional=True,
+    num_layers=2)`` in /root/reference/lib/models/CoevoDecoder.py:216-229.
+    """
+
+    hidden_dim: int
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x: [T, B, C] → [T, B, 2 * hidden_dim]."""
+        T, B, _ = x.shape
+        for layer in range(self.num_layers):
+            outs = []
+            for direction, name in ((1, "fwd"), (-1, "bwd")):
+                cell = TorchGRUCell(self.hidden_dim,
+                                    name=f"l{layer}_{name}")
+                h0 = jnp.zeros((B, self.hidden_dim), x.dtype)
+                seq = x if direction == 1 else x[::-1]
+
+                def step(cell, carry, xt):
+                    h = cell(xt, carry)
+                    return h, h
+
+                scan = nn.scan(
+                    step, variable_broadcast="params",
+                    split_rngs={"params": False}, in_axes=0, out_axes=0,
+                )
+                _, ys = scan(cell, h0, seq)
+                outs.append(ys if direction == 1 else ys[::-1])
+            x = jnp.concatenate(outs, axis=-1)
+        return x
+
+
+class TorchGRUCell(nn.Module):
+    """A single GRU cell with torch's gate math and weight layout."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        Hd = self.hidden_dim
+        gi = nn.Dense(3 * Hd, name="ih")(x)
+        gh = nn.Dense(3 * Hd, name="hh")(h)
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+
+def truncated_normal_init(stddev: float = 0.02) -> Callable:
+    return nn.initializers.truncated_normal(stddev=stddev)

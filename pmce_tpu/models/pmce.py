@@ -1,0 +1,141 @@
+"""Composed two-stage PMCE model: pose lifter + co-evolution decoder.
+
+Parity target: /root/reference/lib/models/PMCE.py:7-26. The lifter outputs
+millimeters; the decoder consumes meters (÷1000); outputs are
+(mesh [B, 6890, 3] meters, evo_pose [B, J, 3] meters, pose3d [B, J, 3] mm) —
+the same triple the reference trainer consumes
+(/root/reference/lib/core/base.py:132-134).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmce_tpu.models.coevo import CoevolutionDecoder
+from pmce_tpu.models.pose_lifter import PoseLifter
+from pmce_tpu.smpl.artifacts import SMPLArtifacts
+from pmce_tpu.smpl.mesh import (
+    MeshCoarsening,
+    downsample,
+    nearest_joint_per_vertex,
+)
+
+
+class PMCE(nn.Module):
+    """Video 2D pose + image features → mid-frame 3D pose and SMPL mesh."""
+
+    num_joint: int = 17
+    embed_dim: int = 256
+    depth: int = 3
+    vj_relation: tuple = ()
+    num_vertx: int = 431
+    num_verts_full: int = 6890
+    seqlen: int = 16
+
+    def setup(self):
+        self.pose_lifter = PoseLifter(
+            num_joints=self.num_joint, num_frames=self.seqlen,
+            embed_dim=self.embed_dim, depth=self.depth, name="pose_lifter")
+        self.pose_mesh_coevo = CoevolutionDecoder(
+            num_joint=self.num_joint, vj_relation=self.vj_relation,
+            num_vertx=self.num_vertx, num_verts_full=self.num_verts_full,
+            seqlen=self.seqlen, name="pose_mesh_coevo")
+
+    def __call__(self, pose2d: jax.Array, img_feat: jax.Array,
+                 deterministic: bool = True):
+        """pose2d: [B, T, J, 2]; img_feat: [B, T, 2048].
+
+        Returns:
+          (mesh [B, 6890, 3] m, evo_pose [B, J, 3] m, pose3d [B, J, 3] mm).
+        """
+        pose3d = self.pose_lifter(pose2d, img_feat, deterministic)
+        evo_pose, mesh = self.pose_mesh_coevo(
+            pose3d / 1000.0, img_feat, deterministic)
+        return mesh, evo_pose, pose3d
+
+
+def build_vj_relation(mean_vertices: np.ndarray,
+                      joint_regressor: np.ndarray,
+                      coarsening: MeshCoarsening) -> tuple:
+    """Nearest-template-joint index for each coarse (431) vertex.
+
+    Mirrors the reference's decoder init (CoevoDecoder.py:199-209): template
+    joints are regressed from the FULL-resolution mean mesh; the relation is
+    computed against the twice-downsampled (431) mean mesh.
+
+    Args:
+      mean_vertices: [6890, 3] template mesh.
+      joint_regressor: [J, 6890] (H36M 17-joint regressor in the reference).
+      coarsening: mesh coarsening operators.
+
+    Returns:
+      tuple of 431 ints in [0, J).
+    """
+    joints_template = joint_regressor @ mean_vertices
+    coarse = np.asarray(
+        downsample(coarsening, jnp.asarray(mean_vertices), 0, 2)
+    )
+    return tuple(
+        int(i) for i in nearest_joint_per_vertex(joints_template, coarse)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class PMCEAssets:
+    """Static data a PMCE model instance is built around."""
+
+    mean_vertices: np.ndarray      # [6890, 3]
+    joint_regressor_h36m: np.ndarray   # [17, 6890]
+    vj_relation: tuple
+
+
+def default_assets(art: SMPLArtifacts, coarsening: MeshCoarsening,
+                   joint_regressor_h36m: np.ndarray | None = None
+                   ) -> PMCEAssets:
+    """Build decoder assets from SMPL artifacts.
+
+    If no H36M 17-joint regressor is supplied (the converted real
+    ``J_regressor_h36m`` npz), a deterministic stand-in is derived from the
+    24-joint SMPL regressor by selecting/averaging rows onto the H36M joint
+    set — structurally faithful (sparse, row-stochastic) for tests.
+    """
+    if joint_regressor_h36m is None:
+        jr24 = art.J_regressor
+        # H36M-17 from SMPL-24 joints: pelvis, hips, knees, ankles, spine,
+        # neck/nose/head approximations, shoulders, elbows, wrists.
+        picks = [
+            (0,), (2,), (5,), (8,), (1,), (4,), (7,), (3, 6), (12,), (15,),
+            (15,), (16,), (18,), (20,), (17,), (19,), (21,),
+        ]
+        rows = []
+        for p in picks:
+            rows.append(np.mean([jr24[i] for i in p], axis=0))
+        joint_regressor_h36m = np.stack(rows).astype(np.float32)
+
+    vj = build_vj_relation(art.v_template, joint_regressor_h36m, coarsening)
+    return PMCEAssets(
+        mean_vertices=art.v_template.copy(),
+        joint_regressor_h36m=joint_regressor_h36m,
+        vj_relation=vj,
+    )
+
+
+def create_pmce(num_joint: int, art: SMPLArtifacts,
+                coarsening: MeshCoarsening,
+                joint_regressor_h36m: np.ndarray | None = None,
+                embed_dim: int = 256, depth: int = 3,
+                seqlen: int = 16) -> tuple[PMCE, PMCEAssets]:
+    """Factory mirroring the reference's ``models.PMCE.get_model``."""
+    assets = default_assets(art, coarsening, joint_regressor_h36m)
+    model = PMCE(
+        num_joint=num_joint, embed_dim=embed_dim, depth=depth,
+        vj_relation=assets.vj_relation,
+        num_vertx=coarsening.sizes[-1],
+        num_verts_full=art.num_verts, seqlen=seqlen,
+    )
+    return model, assets

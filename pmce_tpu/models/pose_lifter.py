@@ -1,0 +1,133 @@
+"""Stage-1 spatio-temporal 2D→3D pose lifter ("PoseLifter").
+
+Architecture parity target: the reference "GraphormerNet"
+(/root/reference/lib/models/PoseEstimation.py:31-120):
+
+- per-frame joint embedding Linear(2→C) plus a per-frame image-feature bias
+  Linear(2048→C) broadcast over all joint tokens;
+- learned spatial (J tokens) and temporal (T tokens) position embeddings;
+- ``depth`` interleaved (spatial-attention over J, temporal-attention over T)
+  transformer block pairs with SHARED post-block norms ``norm_s``/``norm_t``;
+- regression head LayerNorm(eps 1e-5) + Linear(C→3);
+- frame fusion: a 1×1 Conv2d over the T axis — i.e. a learned linear
+  combination of the T per-frame pose maps — producing the mid-clip pose.
+
+Everything is statically shaped ([B, T=16, J, 2] in, [B, J, 3] out, values
+in millimeters like the reference) and reshapes between (B·T, J, C) and
+(B·J, T, C) token layouts are pure ``reshape``/``transpose`` — free under
+XLA.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmce_tpu.models.layers import Block
+
+
+class PoseLifter(nn.Module):
+    """Factorized spatial/temporal transformer lifting 2D pose sequences."""
+
+    num_joints: int = 17
+    num_frames: int = 16
+    embed_dim: int = 256
+    depth: int = 3
+    num_heads: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    img_feat_dim: int = 2048
+
+    def setup(self):
+        C = self.embed_dim
+        self.joint_embed = nn.Dense(C, name="joint_embed")
+        self.imgfeat_embed = nn.Dense(C, name="imgfeat_embed")
+        self.spatial_pos_embed = self.param(
+            "spatial_pos_embed", nn.initializers.zeros,
+            (1, self.num_joints, C))
+        self.temporal_pos_embed = self.param(
+            "temporal_pos_embed", nn.initializers.zeros,
+            (1, self.num_frames, C))
+        self.pos_drop = nn.Dropout(self.drop_rate)
+
+        dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
+        self.spatial_blocks = [
+            Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                  self.drop_rate, self.attn_drop_rate, float(dpr[i]),
+                  name=f"spatial_block{i}")
+            for i in range(self.depth)
+        ]
+        self.temporal_blocks = [
+            Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                  self.drop_rate, self.attn_drop_rate, float(dpr[i]),
+                  name=f"temporal_block{i}")
+            for i in range(self.depth)
+        ]
+        # Shared across all depths, applied after every block — a deliberate
+        # quirk of the reference (PoseEstimation.py:59-60,85,92,104,107).
+        self.norm_s = nn.LayerNorm(epsilon=1e-6, name="norm_s")
+        self.norm_t = nn.LayerNorm(epsilon=1e-6, name="norm_t")
+
+        # Regression head: torch's default LayerNorm eps (1e-5) here.
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, name="head_norm")
+        self.head_proj = nn.Dense(3, name="head_proj")
+        # Frame fusion — Conv2d(T→1, k=1) ≡ a [T] weight vector + bias.
+        bound = 1.0 / float(np.sqrt(self.num_frames))
+        self.fusion_weight = self.param(
+            "fusion_weight",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-bound, maxval=bound),
+            (self.num_frames,))
+        self.fusion_bias = self.param(
+            "fusion_bias", nn.initializers.zeros, (1,))
+
+    def __call__(self, pose2d: jax.Array, img_feat: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        """Lift a clip of 2D poses to the mid-frame 3D pose.
+
+        Args:
+          pose2d: [B, T, J, 2] width-normalized 2D joints.
+          img_feat: [B, T, 2048] per-frame image features.
+          deterministic: disables dropout / stochastic depth.
+
+        Returns:
+          [B, J, 3] mid-frame 3D pose (millimeters).
+        """
+        B, T, J, _ = pose2d.shape
+        C = self.embed_dim
+
+        x = self.joint_embed(pose2d)                       # [B,T,J,C]
+        x = x + self.imgfeat_embed(img_feat)[:, :, None, :]
+        x = x + self.spatial_pos_embed[None]
+        x = self.pos_drop(x, deterministic=deterministic)
+
+        # --- head pair (block 0): spatial then temporal ---
+        x = x.reshape(B * T, J, C)
+        x = self.spatial_blocks[0](x, deterministic)
+        x = self.norm_s(x)
+
+        x = x.reshape(B, T, J, C).transpose(0, 2, 1, 3).reshape(B * J, T, C)
+        x = x + self.temporal_pos_embed
+        x = self.pos_drop(x, deterministic=deterministic)
+        x = self.temporal_blocks[0](x, deterministic)
+        x = self.norm_t(x)
+
+        # --- remaining pairs ---
+        for i in range(1, self.depth):
+            x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3).reshape(B * T, J, C)
+            x = self.spatial_blocks[i](x, deterministic)
+            x = self.norm_s(x)
+            x = x.reshape(B, T, J, C).transpose(0, 2, 1, 3).reshape(B * J, T, C)
+            x = self.temporal_blocks[i](x, deterministic)
+            x = self.norm_t(x)
+
+        x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3)    # [B,T,J,C]
+        x = self.head_proj(self.head_norm(x))              # [B,T,J,3]
+        out = jnp.einsum("t,btjc->bjc", self.fusion_weight, x,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out + self.fusion_bias[0]

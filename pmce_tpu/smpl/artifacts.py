@@ -205,6 +205,20 @@ def default_artifact_path(gender: str = "neutral") -> str:
     return os.path.join(base, f"smpl_{gender}.npz")
 
 
+def ensure_cached_artifacts(gender: str = "neutral", seed: int = 0
+                            ) -> "SMPLArtifacts":
+    """Load converted-real or cached-synthetic artifacts; generate+cache the
+    synthetic stand-in on first use (full 6890-vertex generation takes ~30 s
+    of host time, so bench/driver entry points shouldn't pay it twice)."""
+    path = default_artifact_path(gender)
+    if os.path.isfile(path):
+        return SMPLArtifacts.load(path)
+    art = synthetic_artifacts(seed=seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    art.save(path)
+    return art
+
+
 def load_or_synthetic(gender: str = "neutral", seed: int = 0) -> SMPLArtifacts:
     """Load converted real artifacts if present, else the synthetic stand-in.
 

@@ -109,6 +109,17 @@ def load_or_synthetic(seed: int = 0) -> MeshCoarsening:
     return synthetic_coarsening(seed=seed)
 
 
+def ensure_cached_coarsening(seed: int = 0) -> MeshCoarsening:
+    """Like ``load_or_synthetic`` but caches the generated operators."""
+    path = default_coarsening_path()
+    if os.path.isfile(path):
+        return MeshCoarsening.load(path)
+    m = synthetic_coarsening(seed=seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    m.save(path)
+    return m
+
+
 def downsample(mesh: MeshCoarsening, x: jax.Array, n1: int = 0,
                n2: int = 1) -> jax.Array:
     """Downsample vertices from level ``n1`` to level ``n2``.
