@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+API parity target: /root/reference/main/train.py —
+``python main/train.py --cfg configs/train_mesh_h36m.yml`` trains either
+the composed PMCE mesh model or the Stage-1 pose lifter (``MODEL.name``),
+evaluating and checkpointing every epoch with best/final selection.
+
+Additions: ``--smoke`` (tiny run for CI), ``--platform cpu`` (force the
+host backend), and explicit seeding of every RNG (the reference seeds
+torch/np/random globals; here one seed feeds jax PRNG keys and numpy
+Generators).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Train pmce-tpu models")
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint dir/file to resume from")
+    p.add_argument("--smoke", action="store_true",
+                   help="2 epochs x 4 steps for a quick end-to-end check")
+    p.add_argument("--platform", type=str, default="",
+                   help="override jax platform (e.g. cpu)")
+    p.add_argument("--tag", type=str, default="run")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+
+    from pmce_tpu.core import checkpoint as ckpt_lib
+    from pmce_tpu.core.config import ensure_output_dirs, load_config
+    from pmce_tpu.core.trainer import Trainer
+    from pmce_tpu.data.clip_dataset import MultiDataset
+    from pmce_tpu.data.factory import (
+        build_test_dataset,
+        build_train_datasets,
+        target_joint_regressor,
+    )
+    from pmce_tpu.models.pmce import create_pmce
+    from pmce_tpu.models.pose_lifter import PoseLifter
+    from pmce_tpu.smpl.artifacts import ensure_cached_artifacts
+    from pmce_tpu.smpl.mesh import ensure_cached_coarsening
+
+    cfg = load_config(args.cfg)
+    cfg.TRAIN.seed = args.seed
+    if args.smoke:
+        cfg.TRAIN.end_epoch = min(cfg.TRAIN.end_epoch, 2)
+        cfg.TRAIN.steps_per_epoch = 4
+        cfg.TRAIN.batch_size = min(cfg.TRAIN.batch_size, 8)
+        cfg.TEST.batch_size = min(cfg.TEST.batch_size, 8)
+        cfg.DATASET.synthetic_samples = 64
+
+    dirs = ensure_output_dirs(cfg, tag=args.tag)
+    print(f"[pmce-tpu] backend={jax.default_backend()} "
+          f"devices={len(jax.devices())} out={dirs['output']}")
+
+    art = ensure_cached_artifacts()
+    coarse = ensure_cached_coarsening()
+
+    train_list = build_train_datasets(cfg, art)
+    test_ds = build_test_dataset(cfg, art)
+    main_ds = train_list[0]
+    j_reg_target = target_joint_regressor(cfg, main_ds)
+
+    if cfg.MODEL.name == "PMCE":
+        model, _assets = create_pmce(
+            num_joint=main_ds.num_joints, art=art, coarsening=coarse,
+            joint_regressor_h36m=main_ds.joint_regressor_h36m,
+            embed_dim=cfg.MODEL.hpe_dim, depth=cfg.MODEL.hpe_dep,
+            seqlen=cfg.DATASET.seqlen)
+    elif cfg.MODEL.name == "PoseEst":
+        model = PoseLifter(num_joints=main_ds.num_joints,
+                           num_frames=cfg.DATASET.seqlen,
+                           embed_dim=cfg.MODEL.hpe_dim,
+                           depth=cfg.MODEL.hpe_dep)
+    else:
+        raise ValueError(f"unknown MODEL.name {cfg.MODEL.name!r}")
+
+    from pmce_tpu.core.trainer import H36M_EVAL_JOINTS
+
+    eval_root = getattr(test_ds, "eval_root_idx", 0)
+    # PW3D's Stage-1 protocol evaluates ALL coco joints about the pelvis;
+    # every other path uses the 14 H36M eval joints about joint 0.
+    eval_joints = (None if (cfg.MODEL.name == "PoseEst" and eval_root != 0)
+                   else H36M_EVAL_JOINTS)
+    trainer = Trainer(
+        cfg=cfg, model=model,
+        train_data=MultiDataset(train_list, seed=args.seed),
+        test_data=test_ds,
+        faces=art.faces, J_reg_target=j_reg_target,
+        ckpt_dir=dirs["checkpoint"],
+        eval_root_idx=eval_root,
+        eval_joints=eval_joints,
+    )
+
+    state = None
+    if args.resume:
+        loaded = ckpt_lib.load_checkpoint(args.resume)
+        print(f"resumed from epoch {loaded.get('epoch')}")
+        cfg.TRAIN.begin_epoch = int(loaded.get("epoch", 0)) + 1
+
+    state = trainer.fit(state)
+    print("Final protocol evaluation:")
+    trainer.full_evaluate(state)
+    print(f"Training finished; checkpoints in {dirs['checkpoint']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,8 @@ def make_pmce_train_step(model, tx, faces: jax.Array,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_pmce_eval_step(model, J_reg_target: jax.Array) -> Callable:
+def make_pmce_eval_step(model, J_reg_target: jax.Array,
+                        eval_joints: tuple = H36M_EVAL_JOINTS) -> Callable:
     """Jitted eval step: predictions + the reference's batch metrics.
 
     Metric parity: ``compute_both_err``
@@ -93,7 +94,7 @@ def make_pmce_eval_step(model, J_reg_target: jax.Array) -> Callable:
     root-aligned by the PREDICTED/GT joint 0, joint error over the 14 H36M
     eval joints, mesh error over all vertices, in millimeters.
     """
-    eval_idx = jnp.asarray(H36M_EVAL_JOINTS)
+    eval_idx = jnp.asarray(eval_joints)
 
     def eval_fn(params, batch):
         mesh, evo, pose3d = model.apply(
@@ -148,16 +149,26 @@ def make_lift_train_step(model, tx) -> Callable:
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_lift_eval_step(model) -> Callable:
-    """Root-aligned MPJPE over the H36M eval joints (base.py:600-609)."""
-    eval_idx = jnp.asarray(H36M_EVAL_JOINTS)
+def make_lift_eval_step(model, root_idx: int = 0,
+                        eval_joints: tuple | None = H36M_EVAL_JOINTS
+                        ) -> Callable:
+    """Root-aligned MPJPE for the lifter.
+
+    Parity: H36M uses root joint 0 + the 14 eval joints
+    (Human36M/dataset.py:600-609); PW3D uses the coco pelvis (index -2)
+    and all joints (PW3D/dataset.py:260-267).
+    """
 
     def eval_fn(params, batch):
         pred = model.apply(
             {"params": params}, batch["pose2d"], batch["img_feature"])
         gt = batch["lift_pose3d"]
-        p = (pred - pred[:, :1])[:, eval_idx]
-        g = (gt - gt[:, :1])[:, eval_idx]
+        p = pred - pred[:, root_idx][:, None]
+        g = gt - gt[:, root_idx][:, None]
+        if eval_joints is not None:
+            eval_idx = jnp.asarray(eval_joints)
+            p = p[:, eval_idx]
+            g = g[:, eval_idx]
         err = jnp.mean(jnp.sqrt(jnp.sum((p - g) ** 2, axis=-1)))
         return {"pred_joint": pred, "joint_err": err}
 
@@ -177,6 +188,8 @@ class Trainer:
     ckpt_dir: str = ""
     mesh: Any = None              # jax device mesh; None = single device
     log_fn: Callable = print
+    eval_root_idx: int = 0
+    eval_joints: tuple | None = H36M_EVAL_JOINTS
 
     def __post_init__(self):
         tcfg = self.cfg.TRAIN
@@ -198,10 +211,12 @@ class Trainer:
                 self.cfg.MODEL.edge_loss_weight,
                 self.cfg.MODEL.joint_loss_weight)
             self.eval_step = make_pmce_eval_step(
-                self.model, jnp.asarray(self.J_reg_target))
+                self.model, jnp.asarray(self.J_reg_target),
+                self.eval_joints or H36M_EVAL_JOINTS)
         else:
             self.train_step = make_lift_train_step(self.model, self.tx)
-            self.eval_step = make_lift_eval_step(self.model)
+            self.eval_step = make_lift_eval_step(
+                self.model, self.eval_root_idx, self.eval_joints)
 
     # ---------------------------------------------------------------- init
     def init_state(self, sample_batch: dict) -> TrainState:
@@ -259,7 +274,8 @@ class Trainer:
         surface_err, joint_err, n = 0.0, 0.0, 0
         results = []
         for batch in epoch_iterator(self.test_data, tcfg.batch_size,
-                                    shuffle=False, seed=0):
+                                    shuffle=False, seed=0,
+                                    drop_last=False):
             out = self.eval_step(state.params, jax.device_put(batch))
             joint_err += float(out["joint_err"])
             if self.is_mesh_model:
@@ -285,6 +301,15 @@ class Trainer:
                     + (f", MPVPE {surface_err:.2f} mm"
                        if self.is_mesh_model else ""))
         return (joint_err, surface_err, results)
+
+    def full_evaluate(self, state: TrainState, verbose: bool = True):
+        """Run the test dataset's OWN protocol evaluator (the reference's
+        ``dataset.evaluate(result)`` final pass, base.py:262-263)."""
+        _, _, results = self.evaluate(state, collect=True)
+        results = results[: len(self.test_data)]
+        if self.is_mesh_model:
+            return self.test_data.evaluate(results, verbose=verbose)
+        return self.test_data.evaluate_joint(results, verbose=verbose)
 
     # ----------------------------------------------------------------- fit
     def fit(self, state: TrainState | None = None) -> TrainState:

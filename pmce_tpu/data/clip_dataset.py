@@ -78,20 +78,24 @@ class ClipDataset:
         mid = windows[:, self.seqlen // 2]
 
         d = self.data
+        reg = getattr(d, "joint_cam_h36m", None)
+        if reg is None:
+            reg = d.joint_cam
         batch = {
             "pose2d": self.pose2d_norm[windows],
             "img_feature": d.features[windows],
             "mesh": d.mesh_cam[mid] / 1000.0,
             "lift_pose3d": d.joint_cam[mid],
-            "reg_pose3d": d.joint_cam[mid],
+            "reg_pose3d": reg[mid],
         }
         B = len(idxs)
         valid = d.has_smpl[mid].astype(np.float32)
         batch["mesh_valid"] = np.broadcast_to(
             valid[:, None, None], (B, self.num_verts, 1)).copy()
-        ones = np.ones((B, self.num_joints, 1), np.float32)
-        batch["lift_pose3d_valid"] = ones
-        batch["reg_pose3d_valid"] = ones.copy()
+        batch["lift_pose3d_valid"] = np.ones(
+            (B, self.num_joints, 1), np.float32)
+        batch["reg_pose3d_valid"] = np.ones(
+            (B, reg.shape[1], 1), np.float32)
         return batch
 
 

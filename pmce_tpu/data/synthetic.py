@@ -41,6 +41,7 @@ class SyntheticSequenceData:
 
     img_names: np.ndarray        # [N] strings, reference naming convention
     joint_cam: np.ndarray        # [N, J, 3] camera-space GT joints (mm)
+    joint_cam_h36m: np.ndarray   # [N, 17, 3] H36M-17 GT joints (mm)
     joint_img: np.ndarray        # [N, J, 2] projected GT 2D (pixels)
     pose2d_det: np.ndarray       # [N, J, 2] noisy detected 2D (pixels)
     features: np.ndarray         # [N, 2048] image features
@@ -83,6 +84,7 @@ def _smooth_trajectory(rng, n, dim, scale, smoothing=7):
 
 def generate_sequences(art: SMPLArtifacts,
                        joint_regressor: np.ndarray,
+                       joint_regressor_h36m: np.ndarray | None = None,
                        num_videos: int = 3,
                        frames_per_video: int = 48,
                        seed: int = 0,
@@ -93,12 +95,19 @@ def generate_sequences(art: SMPLArtifacts,
 
     Args:
       art: SMPL artifacts (any vertex count).
-      joint_regressor: [J, V] regressor defining the dataset's joint set.
+      joint_regressor: [J, V] regressor defining the dataset's INPUT/lift
+        joint set (h36m-17 or coco-19).
+      joint_regressor_h36m: optional [17, V] regressor for the H36M-17
+        regression targets; defaults to ``joint_regressor`` (the
+        h36m-input case). Mirrors the reference carrying both joint sets
+        when the input set is COCO (data/Human36M/dataset.py:306-314).
       num_videos: number of distinct video sequences.
       frames_per_video: frames per video.
       seed: RNG seed (deterministic).
     """
     rng = np.random.default_rng(seed)
+    if joint_regressor_h36m is None:
+        joint_regressor_h36m = joint_regressor
     J = joint_regressor.shape[0]
     h, w = img_hw
     focal = np.array([1100.0, 1100.0], dtype=np.float32)
@@ -110,7 +119,7 @@ def generate_sequences(art: SMPLArtifacts,
     ).astype(np.float32)
 
     names, joint_cams, joint_imgs, dets, feats = [], [], [], [], []
-    poses, shapes, meshes = [], [], []
+    poses, shapes, meshes, joint_cams_h36m = [], [], [], []
     for vid in range(num_videos):
         n = frames_per_video
         pose_traj = _smooth_trajectory(rng, n, 72, scale=0.5)
@@ -124,6 +133,8 @@ def generate_sequences(art: SMPLArtifacts,
         offset = np.array([0.0, 0.0, root_depth], dtype=np.float32)
         verts_cam = verts + offset
         jcam = np.einsum("jv,nvk->njk", joint_regressor, verts_cam)
+        jcam_h36m = np.einsum("jv,nvk->njk", joint_regressor_h36m,
+                              verts_cam)
 
         # Vectorized host-side projection (no device round trips).
         z = jcam[..., 2]
@@ -133,8 +144,11 @@ def generate_sequences(art: SMPLArtifacts,
         ).astype(np.float32)
         det = jimg + rng.normal(scale=det_noise_px, size=jimg.shape)
 
-        root = jcam[:, :1].copy()
+        # Root convention mirrors the reference: everything is made
+        # relative to the H36M root (pelvis) of the same frame.
+        root = jcam_h36m[:, :1].copy()
         jcam_rel = (jcam - root) * 1000.0          # mm, root-relative
+        jcam_h36m_rel = (jcam_h36m - root) * 1000.0
         mesh_rel = (verts_cam - root) * 1000.0     # mm, root-relative
 
         feat = (pose_traj @ rng.normal(scale=0.1, size=(72, 3 * J))
@@ -145,6 +159,7 @@ def generate_sequences(art: SMPLArtifacts,
         for i in range(n):
             names.append(f"s_{seed:02d}_vid_{vid:02d}_ca_04_{i + 1:06d}.jpg")
         joint_cams.append(jcam_rel.astype(np.float32))
+        joint_cams_h36m.append(jcam_h36m_rel.astype(np.float32))
         joint_imgs.append(jimg)
         dets.append(det.astype(np.float32))
         feats.append(feat.astype(np.float32))
@@ -161,6 +176,7 @@ def generate_sequences(art: SMPLArtifacts,
     return SyntheticSequenceData(
         img_names=np.array(names),
         joint_cam=np.concatenate(joint_cams),
+        joint_cam_h36m=np.concatenate(joint_cams_h36m),
         joint_img=np.concatenate(joint_imgs),
         pose2d_det=np.concatenate(dets),
         features=np.concatenate(feats),
