@@ -25,6 +25,10 @@ REFERENCE_BASELINE_FPS = 30.0
 
 def main() -> None:
     import jax
+
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
     import jax.numpy as jnp
     import numpy as np
 

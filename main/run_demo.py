@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""In-the-wild video demo CLI.
+
+API parity target: /root/reference/main/run_demo.py —
+``python main/run_demo.py --vid_file video.mp4`` runs
+decode → track → 2D pose → features → PMCE → camera fit → render → encode.
+
+Differences from the reference deployment:
+- detector weights (YOLOv3) and ViTPose/SPIN checkpoints are external,
+  license-gated artifacts; without them the CLI accepts precomputed
+  detections (``--detections dets.npz`` with per-frame boxes/keypoints) or
+  runs ``--synthetic`` — a fully self-contained mode that renders a moving
+  synthetic body, detects it by background subtraction, and runs the real
+  pipeline end-to-end (the verification path on TPU);
+- all model stages are batched jitted calls (see pmce_tpu/demo/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _synthetic_video(art, T=48, H=240, W=320):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmce_tpu.demo.renderer import Renderer, project_weak_perspective
+    from pmce_tpu.smpl.layer import SMPLModel, smpl_forward
+
+    model = SMPLModel.from_artifacts(art)
+    pose = np.zeros((T, 72), np.float32)
+    pose[:, 50] = np.linspace(0, 0.8, T)
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        verts, _ = smpl_forward(model, jnp.asarray(pose),
+                                jnp.zeros((T, 10)))
+    verts = np.asarray(verts)
+    renderer = Renderer(art.faces, resolution=(W, H), alpha=1.0)
+    frames = np.full((T, H, W, 3), 30, np.uint8)
+    cams = [np.array([0.45, 0.45 * (W / H), -0.6 + 1.2 * t / T, 0.0],
+                     np.float32) for t in range(T)]
+    for t in range(T):
+        frames[t] = renderer.render(frames[t], verts[t], cams[t])
+
+    dets, kps = [], []
+    jr17 = np.random.default_rng(1).random(
+        (17, art.num_verts)).astype(np.float32)
+    jr17 /= jr17.sum(1, keepdims=True)
+    for t in range(T):
+        fg = np.any(frames[t] != 30, axis=-1)
+        ys, xs = np.nonzero(fg)
+        dets.append(np.array([[xs.min(), ys.min(),
+                               xs.max() - xs.min() + 1,
+                               ys.max() - ys.min() + 1]], np.float32))
+        j = project_weak_perspective(jr17 @ verts[t], cams[t], W, H)
+        kps.append(np.concatenate(
+            [j[:, :2], np.ones((17, 1), np.float32)], 1)[None])
+    return frames, dets, kps, jr17
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="pmce-tpu video demo")
+    p.add_argument("--vid_file", type=str, default="",
+                   help="input video (.mp4 via ffmpeg, or .npy frames)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="self-contained synthetic-video demo")
+    p.add_argument("--detections", type=str, default="",
+                   help="npz with boxes_<t> ([K,4] xywh) and optional "
+                        "kps_<t> ([K,17,3]) per frame")
+    p.add_argument("--weights", type=str, default="",
+                   help="PMCE checkpoint (dir or file)")
+    p.add_argument("--output", type=str, default="output/demo")
+    p.add_argument("--frames", type=int, default=48,
+                   help="synthetic-mode video length")
+    p.add_argument("--platform", type=str, default="")
+    p.add_argument("--vitpose", choices=["tiny", "huge", "off"],
+                   default="off",
+                   help="2D pose stage ('off' uses detection keypoints)")
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    from pmce_tpu.core import checkpoint as ckpt_lib
+    from pmce_tpu.demo.pipeline import DemoConfig, DemoModels, DemoPipeline
+    from pmce_tpu.demo import video_io
+    from pmce_tpu.models.pmce import create_pmce
+    from pmce_tpu.models.spin import ResNet50
+    from pmce_tpu.smpl.artifacts import ensure_cached_artifacts
+    from pmce_tpu.smpl.mesh import ensure_cached_coarsening
+
+    os.makedirs(args.output, exist_ok=True)
+    art = ensure_cached_artifacts()
+    coarse = ensure_cached_coarsening()
+
+    # ---- input ----
+    if args.synthetic:
+        frames, dets, kps, jr17 = _synthetic_video(art, T=args.frames)
+    else:
+        if not args.vid_file:
+            p.error("--vid_file or --synthetic required")
+        src = video_io.open_video(args.vid_file)
+        frames = np.stack(list(src))
+        if not args.detections:
+            p.error("--detections required for real videos (no bundled "
+                    "detector weights)")
+        z = np.load(args.detections, allow_pickle=True)
+        dets = [z[f"boxes_{t}"] for t in range(len(frames))]
+        kps = ([z[f"kps_{t}"] for t in range(len(frames))]
+               if f"kps_0" in z.files else None)
+        rng = np.random.default_rng(1)
+        jr17 = rng.random((17, art.num_verts)).astype(np.float32)
+        jr17 /= jr17.sum(1, keepdims=True)
+
+    # ---- models ----
+    model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse,
+                                 joint_regressor_h36m=jr17)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 19, 2)),
+                                 jnp.zeros((1, 16, 2048)))
+    if args.weights:
+        loaded = ckpt_lib.load_checkpoint(
+            args.weights, params_template=jax.device_get(params["params"]))
+        params = {"params": loaded["params"]}
+    # Params are ARGUMENTS of the jitted fn (not closure constants): the
+    # HLO stays weight-free, compiles fast, and hits the persistent cache
+    # regardless of the checkpoint loaded.
+    _pmce_jit = jax.jit(model.apply)
+    pmce_apply = lambda a, b: _pmce_jit(params, a, b)  # noqa: E731
+
+    resnet = ResNet50()
+    rn_vars = jax.jit(resnet.init)(jax.random.PRNGKey(1),
+                                   jnp.zeros((1, 3, 224, 224)))
+    _rn_jit = jax.jit(resnet.apply)
+    feature_apply = lambda crops: _rn_jit(rn_vars, crops)  # noqa: E731
+
+    pose2d_apply = None
+    if args.vitpose != "off":
+        from pmce_tpu.models.vitpose import ViTPose, ViTPoseConfig
+
+        cfg_vp = (ViTPoseConfig.huge() if args.vitpose == "huge"
+                  else ViTPoseConfig.tiny())
+        vp = ViTPose(cfg_vp)
+        vp_vars = jax.jit(vp.init)(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 3, 256, 192)))
+        _vp_jit = jax.jit(vp.apply)
+        pose2d_apply = lambda c: _vp_jit(vp_vars, c)  # noqa: E731
+        kps = None  # force the ViTPose path
+
+    pipe = DemoPipeline(
+        DemoModels(pmce_apply=pmce_apply, feature_apply=feature_apply,
+                   pose2d_apply=pose2d_apply, joint_regressor=jr17,
+                   faces=art.faces),
+        DemoConfig())
+
+    t0 = time.time()
+    results, rendered = pipe.run(frames, dets, keypoints_per_frame=kps,
+                                 render=True)
+    dt = time.time() - t0
+    fps = len(frames) / dt
+    print(f"processed {len(frames)} frames in {dt:.2f}s -> "
+          f"{fps:.1f} frames/s end-to-end "
+          f"({len(results)} tracked people)")
+
+    # ---- outputs ----
+    np.save(os.path.join(args.output, "demo_frames.npy"), rendered)
+    meta = {pid: {"frames": r["frames"].tolist()}
+            for pid, r in results.items()}
+    with open(os.path.join(args.output, "demo_meta.json"), "w") as f:
+        json.dump({"fps_end_to_end": fps, "tracks": meta}, f, indent=2)
+    if video_io.has_ffmpeg() and rendered is not None:
+        out_path = os.path.join(args.output, "demo_output.mp4")
+        w = video_io.FFmpegVideoWriter(out_path, rendered.shape[2],
+                                       rendered.shape[1])
+        for fr in rendered:
+            w.write(fr)
+        w.close()
+        print(f"wrote {out_path}")
+    else:
+        print(f"wrote {args.output}/demo_frames.npy (no ffmpeg on host)")
+
+
+if __name__ == "__main__":
+    main()

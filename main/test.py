@@ -32,6 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from pmce_tpu.core import checkpoint as ckpt_lib
     from pmce_tpu.core.config import load_config
     from pmce_tpu.core.trainer import H36M_EVAL_JOINTS, Trainer, TrainState

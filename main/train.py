@@ -41,6 +41,10 @@ def main() -> None:
 
     import jax
 
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from pmce_tpu.core import checkpoint as ckpt_lib
     from pmce_tpu.core.config import ensure_output_dirs, load_config
     from pmce_tpu.core.trainer import Trainer
@@ -97,6 +101,11 @@ def main() -> None:
     # every other path uses the 14 H36M eval joints about joint 0.
     eval_joints = (None if (cfg.MODEL.name == "PoseEst" and eval_root != 0)
                    else H36M_EVAL_JOINTS)
+    from pmce_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(out_dir=dirs["output"],
+                          use_wandb=cfg.TRAIN.wandb,
+                          run_name=args.tag)
     trainer = Trainer(
         cfg=cfg, model=model,
         train_data=MultiDataset(train_list, seed=args.seed),
@@ -105,6 +114,7 @@ def main() -> None:
         ckpt_dir=dirs["checkpoint"],
         eval_root_idx=eval_root,
         eval_joints=eval_joints,
+        metric_logger=logger,
     )
 
     state = None
@@ -112,6 +122,21 @@ def main() -> None:
         loaded = ckpt_lib.load_checkpoint(args.resume)
         print(f"resumed from epoch {loaded.get('epoch')}")
         cfg.TRAIN.begin_epoch = int(loaded.get("epoch", 0)) + 1
+
+    # Stage-2 warm start from Stage-1 weights (reference
+    # PoseEstimation.py:68-74, cfg.MODEL.posenet_pretrained/posenet_path).
+    if (cfg.MODEL.name == "PMCE" and cfg.MODEL.posenet_pretrained
+            and cfg.MODEL.posenet_path):
+        state = trainer.init_state(
+            trainer.train_data.sample_batch(cfg.TRAIN.batch_size))
+        lifter = ckpt_lib.load_checkpoint(
+            cfg.MODEL.posenet_path,
+            params_template=jax.device_get(
+                state.params["pose_lifter"]))["params"]
+        params = dict(state.params)
+        params["pose_lifter"] = lifter
+        state = state.replace(params=params)
+        print(f"loaded Stage-1 weights from {cfg.MODEL.posenet_path}")
 
     state = trainer.fit(state)
     print("Final protocol evaluation:")

@@ -190,6 +190,7 @@ class Trainer:
     log_fn: Callable = print
     eval_root_idx: int = 0
     eval_joints: tuple | None = H36M_EVAL_JOINTS
+    metric_logger: Any = None     # optional pmce_tpu.utils.MetricLogger
 
     def __post_init__(self):
         tcfg = self.cfg.TRAIN
@@ -251,12 +252,19 @@ class Trainer:
         for batch in prefetch_to_device(
                 self._batch_iter(epoch), sharding=sharding):
             if self.is_mesh_model:
-                state, loss, _terms = self.train_step(
+                state, loss, terms = self.train_step(
                     state, batch, rng, edge_gate)
             else:
                 state, loss = self.train_step(state, batch, rng)
+                terms = None
             running += float(loss)
             n += 1
+            if self.metric_logger is not None:
+                rec = {"train/loss": float(loss)}
+                if terms is not None:
+                    rec.update({f"train/{k}_loss": float(v)
+                                for k, v in terms.items()})
+                self.metric_logger.log(rec, step=int(state.step))
         dt = time.time() - t0
         avg = running / max(n, 1)
         self.loss_history.append(avg)
@@ -297,6 +305,9 @@ class Trainer:
         surface_err /= max(n, 1)
         self.error_history["joint"].append(joint_err)
         self.error_history["surface"].append(surface_err)
+        if self.metric_logger is not None:
+            self.metric_logger.log({"error/MPJPE": joint_err,
+                                    "error/MPVPE": surface_err})
         self.log_fn(f"Eval: MPJPE {joint_err:.2f} mm"
                     + (f", MPVPE {surface_err:.2f} mm"
                        if self.is_mesh_model else ""))

@@ -1,0 +1,103 @@
+"""Fused crop / resize / normalize for demo frames, TPU-native.
+
+The reference crops with cv2.warpAffine per frame on the host
+(/root/reference/lib/utils/_img_utils.py, get_single_image_crop_demo).
+Here the crop+resize is reformulated as SEPARABLE BILINEAR RESAMPLING:
+
+    crop = R_y · frame · R_xᵀ
+
+where R_y [S, H] and R_x [S, W] are per-crop interpolation operators with
+two nonzeros per row, built on device from the bbox. Dense matmuls are the
+operation the MXU is built for — a 1080p → 224² crop is ~2.8 GFLOP, tens of
+microseconds — and XLA fuses the (x/255 − mean)/σ normalization into the
+epilogue, so the whole preprocess is one fused device program with no
+host↔device ping-pong and no gather ops (TPU-hostile) anywhere.
+
+Normalization constants match torchvision's ImageNet preprocessing used by
+the reference's feature extractor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _interp_matrix(start: jax.Array, extent: jax.Array, src_size: int,
+                   out_size: int) -> jax.Array:
+    """Bilinear resampling operator [out_size, src_size] for one axis.
+
+    Args:
+      start, extent: crop start / length in source pixels (traced scalars).
+      src_size, out_size: static sizes.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    # Pixel-center convention (align with cv2.resize INTER_LINEAR).
+    src = start + (i + 0.5) * extent / out_size - 0.5
+    src = jnp.clip(src, 0.0, src_size - 1.0)
+    lo = jnp.floor(src)
+    w_hi = src - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, src_size - 1)
+    m = (jax.nn.one_hot(lo_i, src_size, dtype=jnp.float32)
+         * (1.0 - w_hi)[:, None]
+         + jax.nn.one_hot(hi_i, src_size, dtype=jnp.float32)
+         * w_hi[:, None])
+    return m
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def crop_resize_normalize(frames: jax.Array, bboxes: jax.Array,
+                          out_size: int = 224) -> jax.Array:
+    """Batched fused crop + bilinear resize + ImageNet normalization.
+
+    Args:
+      frames: [N, H, W, 3] uint8 (or float 0..255) source frames.
+      bboxes: [N, 4] (x, y, w, h) crop boxes in pixels (may be per-frame
+        different; shapes stay static).
+      out_size: output resolution (224 for the feature extractor, 256/192
+        via two calls for ViTPose).
+
+    Returns:
+      [N, 3, out_size, out_size] float32, normalized, channel-first (the
+      layout the ResNet feature extractor consumes).
+    """
+    N, H, W, _ = frames.shape
+    frames = frames.astype(jnp.float32)
+
+    def one(frame, bbox):
+        x, y, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
+        ry = _interp_matrix(y, h, H, out_size)            # [S, H]
+        rx = _interp_matrix(x, w, W, out_size)            # [S, W]
+        # [S,H]·[H,W,3] → [S,W,3]; then contract W with rx.
+        tmp = jnp.einsum("sh,hwc->swc", ry, frame,
+                         precision=jax.lax.Precision.DEFAULT)
+        out = jnp.einsum("tw,swc->stc", rx, tmp,
+                         precision=jax.lax.Precision.DEFAULT)
+        return out
+
+    crops = jax.vmap(one)(frames, bboxes.astype(jnp.float32))
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    crops = (crops / 255.0 - mean) / std
+    return jnp.transpose(crops, (0, 3, 1, 2))
+
+
+def square_crop_bbox(bbox_xywh, scale: float = 1.1):
+    """Tight bbox → scaled square crop box (demo convention).
+
+    Parity: the demo crops a square patch around the person with a 1.1–1.3
+    scale factor (/root/reference/lib/utils/_img_utils.py crop conventions).
+    """
+    import numpy as np
+
+    bbox = np.asarray(bbox_xywh, np.float32)
+    x, y, w, h = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
+    cx, cy = x + w / 2.0, y + h / 2.0
+    size = np.maximum(w, h) * scale
+    return np.stack([cx - size / 2.0, cy - size / 2.0, size, size], axis=-1)

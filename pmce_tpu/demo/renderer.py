@@ -1,0 +1,119 @@
+"""Mesh overlay renderer (weak-perspective, z-buffered).
+
+Functional parity target: /root/reference/demo/renderer.py:37-118 — the
+pyrender/OSMesa offscreen renderer with a custom weak-perspective camera
+and the Rx(180°) mesh flip. The rasterization itself runs in first-party
+C++ (pmce_tpu/native/rasterizer.cc); a numpy fallback implements the same
+algorithm when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from pmce_tpu import native
+
+DEFAULT_COLOR = (255.0 * 1.0, 255.0 * 0.6059142480254321, 255.0 * 0.5)
+
+
+def project_weak_perspective(verts: np.ndarray, cam: np.ndarray,
+                             width: int, height: int) -> np.ndarray:
+    """Mesh (meters, camera frame) → screen-space (px, px, depth).
+
+    cam: (sx, sy, tx, ty) full-frame weak-perspective camera (the output of
+    ``convert_crop_cam_to_orig_img``). Applies the reference's Rx(180°)
+    flip (y and z negated) before projection.
+    """
+    v = verts.copy()
+    v[:, 1] *= -1.0
+    v[:, 2] *= -1.0
+    sx, sy, tx, ty = [float(c) for c in cam]
+    x = (v[:, 0] + tx) * sx          # normalized [-1, 1]
+    y = (v[:, 1] + ty) * sy
+    px = (x + 1.0) * 0.5 * width
+    py = (y + 1.0) * 0.5 * height
+    return np.stack([px, py, v[:, 2]], axis=-1).astype(np.float32)
+
+
+def _rasterize_numpy(verts: np.ndarray, faces: np.ndarray,
+                     image: np.ndarray, color, alpha: float) -> None:
+    """Same algorithm as the C++ kernel, vectorized per triangle."""
+    h, w = image.shape[:2]
+    depth = np.full((h, w), np.inf, np.float32)
+    light = np.array([-0.25, -0.35, -0.90])
+    light /= np.linalg.norm(light)
+    tri = verts[faces]                               # [F, 3, 3]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+    shade = 0.35 + 0.65 * np.abs(n @ light)
+    color = np.asarray(color, np.float32)
+
+    for f in range(len(faces)):
+        (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = tri[f]
+        xmin = max(0, int(np.floor(min(x0, x1, x2))))
+        xmax = min(w - 1, int(np.ceil(max(x0, x1, x2))))
+        ymin = max(0, int(np.floor(min(y0, y1, y2))))
+        ymax = min(h - 1, int(np.ceil(max(y0, y1, y2))))
+        if xmin > xmax or ymin > ymax:
+            continue
+        denom = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        if abs(denom) < 1e-12:
+            continue
+        ys, xs = np.mgrid[ymin:ymax + 1, xmin:xmax + 1]
+        fx, fy = xs + 0.5, ys + 0.5
+        w0 = ((y1 - y2) * (fx - x2) + (x2 - x1) * (fy - y2)) / denom
+        w1 = ((y2 - y0) * (fx - x2) + (x0 - x2) * (fy - y2)) / denom
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        z = w0 * z0 + w1 * z1 + w2 * z2
+        closer = inside & (z < depth[ymin:ymax + 1, xmin:xmax + 1])
+        if not closer.any():
+            continue
+        dsub = depth[ymin:ymax + 1, xmin:xmax + 1]
+        dsub[closer] = z[closer]
+        isub = image[ymin:ymax + 1, xmin:xmax + 1]
+        lit = np.clip(color * shade[f], 0, 255)
+        isub[closer] = ((1 - alpha) * isub[closer]
+                        + alpha * lit).astype(np.uint8)
+
+
+class Renderer:
+    """Composites posed meshes onto video frames.
+
+    API parity with the reference Renderer: ``render(img, verts, cam,
+    color)`` returns the frame with the mesh overlay.
+    """
+
+    def __init__(self, faces: np.ndarray, resolution: tuple,
+                 alpha: float = 0.9):
+        self.faces = np.ascontiguousarray(faces, np.int32)
+        self.width, self.height = resolution
+        self.alpha = float(alpha)
+        self._lib = native.load()
+
+    def render(self, img: np.ndarray, verts: np.ndarray,
+               cam: np.ndarray, color=DEFAULT_COLOR) -> np.ndarray:
+        """img: [H, W, 3] uint8; verts: [V, 3] meters; cam: (sx, sy, tx, ty)."""
+        out = np.ascontiguousarray(img, np.uint8).copy()
+        screen = project_weak_perspective(
+            verts, cam, self.width, self.height)
+        color_arr = np.asarray(color, np.float32)
+        if self._lib is not None:
+            depth = np.full((self.height, self.width), np.inf, np.float32)
+            screen = np.ascontiguousarray(screen, np.float32)
+            self._lib.rasterize_mesh(
+                screen.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(screen),
+                self.faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(self.faces),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.height, self.width,
+                color_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.alpha)
+        else:
+            _rasterize_numpy(screen, self.faces, out, color_arr,
+                             self.alpha)
+        return out

@@ -77,9 +77,13 @@ def build_vj_relation(mean_vertices: np.ndarray,
       tuple of 431 ints in [0, J).
     """
     joints_template = joint_regressor @ mean_vertices
-    coarse = np.asarray(
-        downsample(coarsening, jnp.asarray(mean_vertices), 0, 2)
-    )
+    # One-off constant computation: pin to the host CPU backend so model
+    # construction never issues eager ops over the TPU tunnel.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        coarse = np.asarray(
+            downsample(coarsening, jnp.asarray(mean_vertices), 0, 2)
+        )
     return tuple(
         int(i) for i in nearest_joint_per_vertex(joints_template, coarse)
     )

@@ -1,0 +1,208 @@
+"""Demo-pipeline tests: camera fit, preprocess, tracker, renderer,
+smooth-bbox, and a self-contained end-to-end video run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmce_tpu.demo.camera import (
+    convert_crop_cam_to_orig_img,
+    fit_cam_closed_form,
+    fit_cam_iterative,
+)
+from pmce_tpu.demo.pipeline import demo_window_list, gather_windows
+from pmce_tpu.demo.preprocess import crop_resize_normalize, square_crop_bbox
+from pmce_tpu.demo.renderer import Renderer, project_weak_perspective
+from pmce_tpu.demo.smooth_bbox import (
+    gaussian_filter_1d,
+    get_all_bbox_params,
+    get_smooth_bbox_params,
+    median_filter_1d,
+)
+from pmce_tpu.demo.tracker import BBoxTracker, iou_matrix, track_video
+from pmce_tpu.ops.coords import weak_perspective_project
+
+
+def test_fit_cam_closed_form_recovers_truth(rng):
+    B, J = 4, 17
+    pose3d = rng.normal(size=(B, J, 3)).astype(np.float32)
+    cam_true = np.stack([
+        rng.uniform(0.5, 2.0, B),
+        rng.uniform(-0.3, 0.3, B),
+        rng.uniform(-0.3, 0.3, B)], axis=1).astype(np.float32)
+    target = np.asarray(weak_perspective_project(
+        jnp.asarray(pose3d), jnp.asarray(cam_true), 250.0))
+    cam_fit = np.asarray(fit_cam_closed_form(
+        jnp.asarray(pose3d), jnp.asarray(target), 250.0))
+    np.testing.assert_allclose(cam_fit, cam_true, atol=1e-3)
+
+
+def test_fit_cam_iterative_improves_l1(rng):
+    B, J = 2, 17
+    pose3d = rng.normal(size=(B, J, 3)).astype(np.float32)
+    cam_true = np.array([[1.2, 0.1, -0.2], [0.8, -0.1, 0.3]], np.float32)
+    target = np.array(weak_perspective_project(
+        jnp.asarray(pose3d), jnp.asarray(cam_true), 250.0))
+    # Heavy-tailed outliers: L1 polish should not diverge from closed form.
+    target[0, 0] += 200.0
+    cam = np.asarray(fit_cam_iterative(jnp.asarray(pose3d),
+                                       jnp.asarray(target), 250.0))
+    assert np.all(np.isfinite(cam))
+    np.testing.assert_allclose(cam[1], cam_true[1], atol=0.05)
+
+
+def test_convert_crop_cam():
+    cam = np.array([[1.0, 0.0, 0.0]], np.float32)
+    bbox = np.array([[400.0, 200.0, 200.0, 200.0]], np.float32)  # xywh
+    out = convert_crop_cam_to_orig_img(cam, bbox, 1000, 500)
+    sx, sy, tx, ty = out[0]
+    assert sx == pytest.approx(1.0 * 200 / 1000)
+    assert sy == pytest.approx(1.0 * 200 / 500)
+    # Center of bbox = (500, 300): tx=0 would be frame center 500.
+    assert tx == pytest.approx(((500 - 500) / 500) / sx + 0.0)
+    assert ty == pytest.approx(((300 - 250) / 250) / sy + 0.0)
+
+
+def test_crop_resize_normalize_constant_region(rng):
+    frames = np.zeros((2, 64, 80, 3), np.uint8)
+    frames[:, 10:30, 20:40] = 200
+    bboxes = np.array([[20, 10, 20, 20], [20, 10, 20, 20]], np.float32)
+    out = np.asarray(crop_resize_normalize(jnp.asarray(frames),
+                                           jnp.asarray(bboxes),
+                                           out_size=32))
+    assert out.shape == (2, 3, 32, 32)
+    # The crop covers a constant-200 region: normalized value everywhere.
+    expected = (200 / 255.0 - 0.485) / 0.229
+    np.testing.assert_allclose(out[0, 0, 8:24, 8:24], expected, atol=1e-2)
+
+
+def test_crop_resize_identity(rng):
+    """Cropping the full frame at native size reproduces the frame."""
+    frame = rng.integers(0, 255, size=(1, 16, 16, 3)).astype(np.uint8)
+    bbox = np.array([[0, 0, 16, 16]], np.float32)
+    out = np.asarray(crop_resize_normalize(jnp.asarray(frame),
+                                           jnp.asarray(bbox), out_size=16))
+    mean = np.array([0.485, 0.456, 0.406]).reshape(3, 1, 1)
+    std = np.array([0.229, 0.224, 0.225]).reshape(3, 1, 1)
+    recovered = (out * std + mean) * 255.0
+    np.testing.assert_allclose(
+        recovered[0], frame[0].transpose(2, 0, 1), atol=0.51)
+
+
+def test_square_crop_bbox():
+    out = square_crop_bbox(np.array([10.0, 20.0, 40.0, 20.0]), scale=1.0)
+    np.testing.assert_allclose(out, [10.0, 10.0, 40.0, 40.0])
+
+
+def test_tracker_two_people():
+    rng = np.random.default_rng(0)
+    dets = []
+    for t in range(30):
+        a = [100 + 2 * t, 100, 50, 100]
+        b = [400 - 2 * t, 150, 60, 110]
+        pair = [a, b] if t % 2 == 0 else [b, a]  # shuffled det order
+        dets.append(np.array(pair, np.float32)
+                    + rng.normal(scale=1.0, size=(2, 4)))
+    tracks = track_video(dets, min_frames=25)
+    assert len(tracks) == 2
+    for tr in tracks.values():
+        assert len(tr["frames"]) == 30
+        # Each track is one person: x-center moves monotonically.
+        cx = tr["bbox"][:, 0]
+        diffs = np.diff(cx)
+        assert (diffs > -5).all() or (diffs < 5).all()
+
+
+def test_tracker_handles_gaps():
+    dets = []
+    for t in range(20):
+        if 8 <= t < 11:
+            dets.append(np.empty((0, 4), np.float32))  # occlusion
+        else:
+            dets.append(np.array([[100.0 + t, 100, 50, 100]], np.float32))
+    tracks = track_video(dets, min_frames=10)
+    assert len(tracks) == 1  # track survives the 3-frame gap
+
+
+def test_iou_matrix():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 0, 10, 10], [20, 20, 5, 5]],
+                 np.float32)
+    m = iou_matrix(a, b)
+    np.testing.assert_allclose(m[0], [1.0, 50 / 150, 0.0], atol=1e-6)
+
+
+def test_smooth_bbox():
+    rng = np.random.default_rng(0)
+    kps = []
+    for t in range(40):
+        kp = np.zeros((17, 3), np.float32)
+        kp[:, 0] = 100 + t + rng.normal(scale=0.5, size=17)
+        kp[:, 1] = 200 + rng.normal(scale=0.5, size=17)
+        kp[:, 1][::2] += 80  # give the person some height
+        kp[:, 2] = 9.0
+        kps.append(kp if t not in (10, 11) else None)  # a gap
+    params, start, end = get_all_bbox_params(kps, vis_thresh=2)
+    assert start == 0 and end == 40
+    assert len(params) == 40  # gap interpolated
+    smoothed, s2, _ = get_smooth_bbox_params(kps, vis_thresh=2)
+    assert smoothed.shape[0] >= 40
+    # Smoothing reduces total variation.
+    tv_raw = np.abs(np.diff(params[:, 0])).sum()
+    tv_smooth = np.abs(np.diff(smoothed[:40, 0])).sum()
+    assert tv_smooth <= tv_raw + 1e-3
+
+
+def test_filters_match_definitions():
+    x = np.array([1.0, 9.0, 1.0, 1.0, 8.0, 1.0, 1.0])
+    med = median_filter_1d(x, 3)
+    np.testing.assert_allclose(med[1:-1],
+                               [1, 1, 1, 1, 1])
+    g = gaussian_filter_1d(np.ones(20), sigma=2.0)
+    np.testing.assert_allclose(g, 1.0, atol=1e-6)
+
+
+def test_demo_window_list():
+    windows = demo_window_list(40, 16)
+    assert len(windows) == 40
+    mids = [s if s == e else s + 8 for s, e in windows]
+    assert mids == list(range(40))
+    arr = np.arange(40, dtype=np.float32)[:, None]
+    w = gather_windows(arr, windows)
+    assert w.shape == (40, 16, 1)
+    np.testing.assert_array_equal(w[0], np.zeros((16, 1)))  # singleton f0
+
+
+def test_renderer_draws_mesh(smpl_artifacts):
+    img = np.zeros((120, 160, 3), np.uint8)
+    renderer = Renderer(smpl_artifacts.faces, resolution=(160, 120))
+    verts = smpl_artifacts.v_template.copy()
+    cam = np.array([0.7, 0.7, 0.0, 0.0], np.float32)
+    out = renderer.render(img, verts, cam)
+    assert out.shape == img.shape
+    assert out.sum() > 0  # something was drawn
+    # Original is untouched (render returns a copy).
+    assert img.sum() == 0
+
+
+def test_renderer_native_matches_numpy(smpl_artifacts):
+    from pmce_tpu import native
+    from pmce_tpu.demo.renderer import _rasterize_numpy
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+    img = np.zeros((80, 100, 3), np.uint8)
+    renderer = Renderer(smpl_artifacts.faces[:200], resolution=(100, 80))
+    verts = smpl_artifacts.v_template
+    cam = np.array([0.8, 0.8, 0.0, 0.0], np.float32)
+    out_native = renderer.render(img, verts, cam)
+    screen = project_weak_perspective(verts, cam, 100, 80)
+    out_np = img.copy()
+    _rasterize_numpy(screen, renderer.faces, out_np,
+                     np.asarray(renderer.render.__defaults__[0],
+                                np.float32), renderer.alpha)
+    # Identical algorithm: allow ±1 from float rounding on a few pixels.
+    diff = np.abs(out_native.astype(int) - out_np.astype(int))
+    assert (diff <= 1).mean() > 0.999
