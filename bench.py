@@ -3,16 +3,22 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measured quantity: end-to-end PMCE inference (Stage-1 lifting + Stage-2
-co-evolution decoding to the full 6890-vertex mesh) — the per-window model
-work of the reference's demo/eval path — in mid-frames per second on one
-chip, batch 64, steady state.
+Measured quantity: end-to-end PMCE inference (Stage-1 spatio-temporal
+lifting + Stage-2 co-evolution decoding to the full 6890-vertex mesh, 103 M
+params) in recovered mid-frames per second on one chip.
 
-Baseline for ``vs_baseline``: the reference publishes no demo FPS
-(BASELINE.md); we use 30 frames/s as a generous stand-in for the
-RTX-3090 end-to-end demo rate (the reference demo runs ViTPose-Huge
-frame-by-frame plus a 300-step camera optimization per window, well below
-30 FPS in practice). The north-star target is ≥5× that, i.e. ≥150.
+Protocol: batch 256 clips, 8 DISTINCT random input sets cycled over 32
+pipelined dispatches, one final block (keeps the device queue full — the
+serving pattern); params passed as jit arguments (weight-free HLO); fp32
+params with default matmul precision on the big dense layers and pinned
+f32 on the geometry-critical attention paths.
+
+Baseline for ``vs_baseline``: the reference publishes no numbers
+(BASELINE.md); 3500 mid-frames/s is our estimate of the reference's
+torch/cu113 PMCE forward throughput on its RTX 3090 (batch 64, ~15-20 ms
+per forward, as a generous reading). The demo-pipeline north star (≥5× the
+~sub-FPS reference demo) is covered separately by
+``main/run_demo.py --synthetic`` which reports end-to-end frames/s.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from __future__ import annotations
 import json
 import time
 
-REFERENCE_BASELINE_FPS = 30.0
+REFERENCE_BASELINE_FPS = 3500.0
 
 
 def main() -> None:
@@ -41,28 +47,32 @@ def main() -> None:
     model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse)
 
     rng = np.random.default_rng(0)
-    B, T, J = 64, 16, 19
-    pose2d = jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32)
-    img_feat = jnp.asarray(rng.normal(size=(B, T, 2048)), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), pose2d, img_feat)
+    B, T, J = 256, 16, 19
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, T, J, 2)),
+        jnp.zeros((1, T, 2048)))
+    fwd = jax.jit(model.apply)
 
-    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
-    out = fwd(params, pose2d, img_feat)
+    inputs = [
+        (jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32),
+         jnp.asarray(rng.normal(size=(B, T, 2048)), jnp.float32))
+        for _ in range(8)
+    ]
+    out = fwd(params, *inputs[0])
     jax.block_until_ready(out)
 
-    # Steady state: enough iterations to amortize dispatch.
-    iters = 50
+    iters = 32
     t0 = time.time()
-    for _ in range(iters):
-        out = fwd(params, pose2d, img_feat)
-    jax.block_until_ready(out)
+    outs = [fwd(params, *inputs[i % 8]) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     fps = B / dt
 
     print(json.dumps({
         "metric": "pmce_mesh_recovery_throughput",
         "value": round(fps, 1),
-        "unit": "mid-frames/s/chip (batch 64, fp32, 6890-vert mesh)",
+        "unit": "mid-frames/s/chip (batch 256 pipelined, fp32 params, "
+                "6890-vert mesh)",
         "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
     }))
 
