@@ -24,7 +24,7 @@ import dataclasses
 import numpy as np
 
 from pmce_tpu.data.datasets.base import VideoMeshDataset, synthetic_regressors
-from pmce_tpu.data.synthetic import SyntheticSequenceData, generate_sequences
+from pmce_tpu.data.synthetic import generate_sequences
 from pmce_tpu.smpl.artifacts import SMPLArtifacts
 
 FITTING_THR_MM = 25.0

@@ -17,7 +17,7 @@ import dataclasses
 import numpy as np
 
 from pmce_tpu.data.datasets.base import VideoMeshDataset, synthetic_regressors
-from pmce_tpu.data.evaluation import JointEvalResult, evaluate_joints
+from pmce_tpu.data.evaluation import evaluate_joints
 from pmce_tpu.data.synthetic import generate_sequences
 from pmce_tpu.smpl.artifacts import SMPLArtifacts
 

