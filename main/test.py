@@ -22,6 +22,8 @@ def main() -> None:
     p.add_argument("--weights", type=str, default="",
                    help="checkpoint path (overrides TEST.weight_path)")
     p.add_argument("--platform", type=str, default="")
+    p.add_argument("--vis", type=str, default="",
+                   help="dump every 500th predicted mesh as OBJ here")
     args = p.parse_args()
 
     if args.platform:
@@ -93,7 +95,7 @@ def main() -> None:
 
     state = TrainState(params=params, opt_state=None,
                        step=jnp.zeros((), jnp.int32))
-    trainer.full_evaluate(state)
+    trainer.full_evaluate(state, vis_dir=args.vis)
 
 
 if __name__ == "__main__":

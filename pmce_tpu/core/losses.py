@@ -92,12 +92,82 @@ def laplacian_loss(laplacian: jax.Array, verts: jax.Array) -> jax.Array:
     return jnp.mean(jnp.sum(lap ** 2, axis=-1))
 
 
+def build_face_losses(faces: np.ndarray, num_verts: int):
+    """Fused normal+edge loss with a segment-sum backward (TPU-fast).
+
+    The straightforward formulation gathers triangle vertices, and XLA
+    differentiates the gathers into generic scatter-adds — the single most
+    expensive piece of the training step (~1/3 of a full PMCE step).
+    This builder returns a ``custom_vjp`` callable computing BOTH face
+    losses from one shared gather; its backward accumulates per-vertex
+    gradients with a PRE-SORTED ``segment_sum`` (indices_are_sorted), which
+    lowers ~3× faster than the generic scatters while matching autodiff to
+    float32 accumulation order.
+
+    Args:
+      faces: [F, 3] host triangle indices.
+      num_verts: V.
+
+    Returns:
+      fn(pred_mesh [B,V,3], gt_mesh [B,V,3]) -> (normal_loss, edge_loss).
+    """
+    faces = np.asarray(faces)
+    flat_idx = faces.reshape(-1)
+    order = np.argsort(flat_idx, kind="stable")
+    sorted_ids = jnp.asarray(flat_idx[order])
+    order_j = jnp.asarray(order)
+    faces_j = jnp.asarray(faces)
+    F = len(faces)
+
+    def _h(P, Pg):
+        """Both losses from gathered triangles P, Pg: [B, F, 3, 3]."""
+        v1o = _normalize(P[:, :, 1] - P[:, :, 0])
+        v2o = _normalize(P[:, :, 2] - P[:, :, 0])
+        v3o = _normalize(P[:, :, 2] - P[:, :, 1])
+        v1g = _normalize(Pg[:, :, 1] - Pg[:, :, 0])
+        v2g = _normalize(Pg[:, :, 2] - Pg[:, :, 0])
+        ng = _normalize(jnp.cross(v1g, v2g))
+        ln = jnp.mean(jnp.stack([
+            jnp.abs(jnp.sum(v * ng, -1)) for v in (v1o, v2o, v3o)]))
+
+        def elen(Q, a, b):
+            return jnp.sqrt(jnp.sum((Q[:, :, a] - Q[:, :, b]) ** 2, -1))
+
+        le = jnp.mean(jnp.stack([
+            jnp.abs(elen(P, a, b) - elen(Pg, a, b))
+            for a, b in ((0, 1), (0, 2), (1, 2))]))
+        return ln, le
+
+    @jax.custom_vjp
+    def face_losses(pred, gt):
+        return _h(pred[:, faces_j], gt[:, faces_j])
+
+    def fwd(pred, gt):
+        P, Pg = pred[:, faces_j], gt[:, faces_j]
+        return _h(P, Pg), (P, Pg)
+
+    def bwd(res, ct):
+        P, Pg = res
+        _, vjp = jax.vjp(_h, P, Pg)
+        dP, _ = vjp(ct)
+        dP_flat = dP.reshape(dP.shape[0], 3 * F, 3)[:, order_j]
+        dm = jax.ops.segment_sum(
+            jnp.swapaxes(dP_flat, 0, 1), sorted_ids,
+            num_segments=num_verts, indices_are_sorted=True)
+        return (jnp.swapaxes(dm, 0, 1),
+                jnp.zeros((dP.shape[0], num_verts, 3), dP.dtype))
+
+    face_losses.defvjp(fwd, bwd)
+    return face_losses
+
+
 def pmce_total_loss(pred_mesh, evo_pose, pose3d,
                     gt_mesh, gt_lift_pose, gt_reg_pose,
                     mesh_valid, lift_valid, reg_valid,
                     faces, J_regressor_target,
                     normal_weight: float, edge_weight: float,
-                    joint_weight: float, use_edge_loss) -> tuple:
+                    joint_weight: float, use_edge_loss,
+                    face_loss_fn=None) -> tuple:
     """The reference trainer's 6-term mesh loss (base.py:132-148).
 
     Units follow the reference: mesh losses in meters, joint losses in mm
@@ -109,6 +179,8 @@ def pmce_total_loss(pred_mesh, evo_pose, pose3d,
       *_valid: broadcastable validity masks or None.
       J_regressor_target: [17, V] (target_joint_set regressor).
       use_edge_loss: bool or traced 0/1 scalar gating the edge term.
+      face_loss_fn: optional fused normal+edge callable from
+        ``build_face_losses`` (the fast path for training).
 
     Returns:
       (total, dict of per-term values).
@@ -117,8 +189,13 @@ def pmce_total_loss(pred_mesh, evo_pose, pose3d,
         "jv,bvk->bjk", J_regressor_target, pred_mesh * 1000.0, precision=_HI)
 
     l_vertex = coord_l1(pred_mesh, gt_mesh, mesh_valid)
-    l_normal = normal_weight * normal_loss(pred_mesh, gt_mesh, faces)
-    l_edge = edge_weight * edge_length_loss(pred_mesh, gt_mesh, faces)
+    if face_loss_fn is not None:
+        ln, le = face_loss_fn(pred_mesh, gt_mesh)
+    else:
+        ln = normal_loss(pred_mesh, gt_mesh, faces)
+        le = edge_length_loss(pred_mesh, gt_mesh, faces)
+    l_normal = normal_weight * ln
+    l_edge = edge_weight * le
     l_reg = joint_weight * coord_l1(pred_reg_pose, gt_reg_pose, reg_valid)
     l_evo = joint_weight * coord_l1(evo_pose * 1000.0, gt_lift_pose,
                                     lift_valid)

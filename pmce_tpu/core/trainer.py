@@ -29,7 +29,11 @@ import optax
 from flax import struct
 
 from pmce_tpu.core.config import Config
-from pmce_tpu.core.losses import coord_l1, pmce_total_loss
+from pmce_tpu.core.losses import (
+    build_face_losses,
+    coord_l1,
+    pmce_total_loss,
+)
 from pmce_tpu.core.optim import build_optimizer
 from pmce_tpu.core import checkpoint as ckpt_lib
 from pmce_tpu.parallel import mesh as mesh_lib
@@ -52,6 +56,8 @@ def make_pmce_train_step(model, tx, faces: jax.Array,
                          normal_weight: float, edge_weight: float,
                          joint_weight: float) -> Callable:
     """Build the jitted PMCE optimization step."""
+    face_loss_fn = build_face_losses(np.asarray(faces),
+                                     int(jnp.max(faces)) + 1)
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array,
                 edge_gate: jax.Array):
@@ -68,7 +74,8 @@ def make_pmce_train_step(model, tx, faces: jax.Array,
                 batch["mesh_valid"], batch["lift_pose3d_valid"],
                 batch["reg_pose3d_valid"],
                 faces, J_reg_target,
-                normal_weight, edge_weight, joint_weight, edge_gate)
+                normal_weight, edge_weight, joint_weight, edge_gate,
+                face_loss_fn=face_loss_fn)
             return total, terms
 
         (loss, terms), grads = jax.value_and_grad(
@@ -312,11 +319,26 @@ class Trainer:
                        if self.is_mesh_model else ""))
         return (joint_err, surface_err, results)
 
-    def full_evaluate(self, state: TrainState, verbose: bool = True):
+    def full_evaluate(self, state: TrainState, verbose: bool = True,
+                      vis_dir: str = "", vis_every: int = 500):
         """Run the test dataset's OWN protocol evaluator (the reference's
-        ``dataset.evaluate(result)`` final pass, base.py:262-263)."""
+        ``dataset.evaluate(result)`` final pass, base.py:262-263).
+
+        With ``vis_dir`` set (the reference's ``cfg.TEST.vis``), every
+        ``vis_every``-th predicted mesh is dumped as a Wavefront OBJ for
+        visual inspection (reference Human36M/dataset.py:818-822)."""
         _, _, results = self.evaluate(state, collect=True)
         results = results[: len(self.test_data)]
+        if vis_dir and self.is_mesh_model:
+            import os
+
+            from pmce_tpu.utils.obj_io import save_obj
+
+            os.makedirs(vis_dir, exist_ok=True)
+            for i in range(0, len(results), max(vis_every, 1)):
+                save_obj(np.asarray(results[i]["mesh_coord"]) / 1000.0,
+                         self.faces,
+                         os.path.join(vis_dir, f"pred_{i:06d}.obj"))
         if self.is_mesh_model:
             return self.test_data.evaluate(results, verbose=verbose)
         return self.test_data.evaluate_joint(results, verbose=verbose)

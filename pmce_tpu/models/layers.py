@@ -257,7 +257,13 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: [T, B, C] → [T, B, 2 * hidden_dim]."""
+        """x: [T, B, C] → [T, B, 2 * hidden_dim].
+
+        The input projection (the 2/3-of-FLOPs half of the cell) is hoisted
+        OUT of the scan and computed for all T steps in one fat matmul;
+        only the recurrent half stays sequential. Values are bit-identical
+        to the naive per-step formulation.
+        """
         T, B, _ = x.shape
         for layer in range(self.num_layers):
             outs = []
@@ -266,16 +272,17 @@ class BiGRU(nn.Module):
                                     name=f"l{layer}_{name}")
                 h0 = jnp.zeros((B, self.hidden_dim), x.dtype)
                 seq = x if direction == 1 else x[::-1]
+                gi_all = cell.precompute_inputs(seq)   # [T, B, 3H] at once
 
-                def step(cell, carry, xt):
-                    h = cell(xt, carry)
+                def step(cell, carry, gi_t):
+                    h = cell.step(gi_t, carry)
                     return h, h
 
                 scan = nn.scan(
                     step, variable_broadcast="params",
                     split_rngs={"params": False}, in_axes=0, out_axes=0,
                 )
-                _, ys = scan(cell, h0, seq)
+                _, ys = scan(cell, h0, gi_all)
                 outs.append(ys if direction == 1 else ys[::-1])
             x = jnp.concatenate(outs, axis=-1)
         return x
@@ -286,17 +293,25 @@ class TorchGRUCell(nn.Module):
 
     hidden_dim: int
 
-    @nn.compact
-    def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
-        Hd = self.hidden_dim
-        gi = nn.Dense(3 * Hd, name="ih")(x)
-        gh = nn.Dense(3 * Hd, name="hh")(h)
+    def setup(self):
+        self.ih = nn.Dense(3 * self.hidden_dim, name="ih")
+        self.hh = nn.Dense(3 * self.hidden_dim, name="hh")
+
+    def precompute_inputs(self, x: jax.Array) -> jax.Array:
+        """Input-gate projections for a whole [T, B, I] sequence."""
+        return self.ih(x)
+
+    def step(self, gi: jax.Array, h: jax.Array) -> jax.Array:
+        gh = self.hh(h)
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)
         z = jax.nn.sigmoid(i_z + h_z)
         n = jnp.tanh(i_n + r * h_n)
         return (1.0 - z) * n + z * h
+
+    def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        return self.step(self.precompute_inputs(x), h)
 
 
 def truncated_normal_init(stddev: float = 0.02) -> Callable:

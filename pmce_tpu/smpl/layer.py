@@ -28,11 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from pmce_tpu.ops.geometry import axis_angle_to_rotmat
+from pmce_tpu.smpl.artifacts import SMPLArtifacts, kintree_levels
 
 # SMPL parity is specified at ≤0.1 mm; the TPU's default bf16 matmul
 # precision costs ~10 mm, so every contraction here pins full float32.
 _HIGHEST = jax.lax.Precision.HIGHEST
-from pmce_tpu.smpl.artifacts import SMPLArtifacts, kintree_levels
 
 
 @jax.tree_util.register_pytree_node_class

@@ -89,3 +89,40 @@ def test_losses_differentiable(rng, smpl_artifacts):
     assert bool(jnp.all(jnp.isfinite(g)))
     g = jax.grad(lambda x: losses.edge_length_loss(x, gt, faces))(v)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fused_face_losses_match(rng, smpl_artifacts):
+    """build_face_losses must match the separate losses in value AND grad."""
+    import jax
+    import jax.numpy as jnp
+
+    faces = smpl_artifacts.faces
+    V = smpl_artifacts.num_verts
+    fused = losses.build_face_losses(faces, V)
+    m = jnp.asarray(rng.normal(size=(2, V, 3)), jnp.float32) * 0.1
+    gt = m * 1.15 + 0.01
+    faces_j = jnp.asarray(faces)
+
+    ln_f, le_f = fused(m, gt)
+    np.testing.assert_allclose(
+        float(ln_f), float(losses.normal_loss(m, gt, faces_j)), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(le_f), float(losses.edge_length_loss(m, gt, faces_j)),
+        rtol=1e-5)
+
+    def tot_fused(x):
+        a, b = fused(x, gt)
+        return 0.1 * a + 20.0 * b
+
+    def tot_ref(x):
+        return (0.1 * losses.normal_loss(x, gt, faces_j)
+                + 20.0 * losses.edge_length_loss(x, gt, faces_j))
+
+    ga = jax.grad(tot_fused)(m)
+    gb = jax.grad(tot_ref)(m)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=2e-4, rtol=1e-3)
+    # gt gradient contract: fused returns zeros for the target argument.
+    ggt = jax.grad(
+        lambda g: 0.1 * fused(m, g)[0] + 20.0 * fused(m, g)[1])(gt)
+    np.testing.assert_allclose(np.asarray(ggt), 0.0)
