@@ -285,12 +285,16 @@ class Trainer:
         tcfg = self.cfg.TEST
         from pmce_tpu.data.clip_dataset import epoch_iterator
 
+        sharding = (mesh_lib.batch_sharding(self.mesh)
+                    if self.mesh is not None else None)
         surface_err, joint_err, n = 0.0, 0.0, 0
         results = []
         for batch in epoch_iterator(self.test_data, tcfg.batch_size,
                                     shuffle=False, seed=0,
                                     drop_last=False):
-            out = self.eval_step(state.params, jax.device_put(batch))
+            batch_dev = (jax.device_put(batch, sharding)
+                         if sharding is not None else jax.device_put(batch))
+            out = self.eval_step(state.params, batch_dev)
             joint_err += float(out["joint_err"])
             if self.is_mesh_model:
                 surface_err += float(out["mesh_err"])

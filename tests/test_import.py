@@ -173,3 +173,38 @@ def test_pmce_importer_tree_matches_init():
                         jnp.zeros((1, 16, 2048)))
     for a, b in zip(out_a, out_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_importer_cli_end_to_end(tmp_path):
+    """Drive tools/import_torch_checkpoint.py with a real torch .pth.tar
+    (DataParallel 'module.' prefixes included) and reload the result."""
+    import os
+    import subprocess
+
+    import torch
+
+    model = PoseLifter(num_joints=17, embed_dim=32, depth=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 17, 2)),
+                        jnp.zeros((1, 16, 2048)))["params"]
+    sd = {("module." + k): torch.from_numpy(np.asarray(v).copy())
+          for k, v in _lifter_to_torch_sd(params, 2).items()}
+    ckpt = str(tmp_path / "pose.pth.tar")
+    torch.save({"model_state_dict": sd, "epoch": 7}, ckpt)
+
+    out = str(tmp_path / "imported.ckpt")
+    repo = str(Path(__file__).resolve().parent.parent)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "import_torch_checkpoint.py"),
+         ckpt, out, "--model", "pose", "--depth", "2"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    from pmce_tpu.core.checkpoint import load_checkpoint
+
+    loaded = load_checkpoint(str(tmp_path),
+                             params_template=jax.device_get(params))
+    assert loaded["epoch"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

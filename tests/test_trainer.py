@@ -122,14 +122,18 @@ def test_data_parallel_training_on_mesh(setup):
     model, _ = create_pmce(num_joint=17, art=art, coarsening=coarse,
                            joint_regressor_h36m=jr, embed_dim=32, depth=1)
     losses = {}
+    evals = {}
     for tag, m in (("mesh", dev_mesh), ("single", None)):
         trainer = Trainer(cfg=cfg, model=model,
                           train_data=MultiDataset([train_ds], seed=0),
-                          test_data=None, faces=art.faces, J_reg_target=jr,
-                          mesh=m, log_fn=lambda *_: None)
-        trainer.fit()
+                          test_data=train_ds, faces=art.faces,
+                          J_reg_target=jr, mesh=m, log_fn=lambda *_: None)
+        state = trainer.fit()
         losses[tag] = trainer.loss_history
+        evals[tag] = trainer.error_history["joint"][-1]
     np.testing.assert_allclose(losses["mesh"], losses["single"], rtol=2e-4)
+    # Sharded evaluation matches single-device evaluation.
+    np.testing.assert_allclose(evals["mesh"], evals["single"], rtol=2e-4)
 
 
 def test_config_strict_overlay(tmp_path):
