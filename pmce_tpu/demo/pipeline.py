@@ -110,28 +110,38 @@ class DemoPipeline:
                   flush=True)
 
     # ------------------------------------------------------------ stages
-    def keypoints_for_crops(self, frames: np.ndarray,
-                            crop_boxes: np.ndarray) -> np.ndarray:
-        """2D keypoints (COCO-17, full-frame pixels) for person crops."""
+    def keypoints_for_crops(self, frames_dev: jax.Array,
+                            crop_boxes: np.ndarray, n: int) -> np.ndarray:
+        """2D keypoints (COCO-17, full-frame pixels) for person crops.
+
+        ``frames_dev`` is the already-device-resident (padded) frame stack;
+        only the decoded keypoints come back to the host.
+        """
         ch, cw = self.cfg.pose_crop_hw
         # Non-square pose crops: widen the box to the 256:192 aspect.
         boxes = crop_boxes.copy()
         boxes[:, 3] = boxes[:, 2] * ch / cw  # h from square w
+        pad_n = len(frames_dev) - len(boxes)
+        boxes_pad = (np.concatenate(
+            [boxes, np.repeat(boxes[-1:], pad_n, axis=0)])
+            if pad_n else boxes)
+        boxes_dev = jax.device_put(boxes_pad)
         kps = []
         B = self.cfg.feature_batch
-        for i in range(0, len(frames), B):
-            fr = jnp.asarray(frames[i : i + B])
-            bx = jnp.asarray(boxes[i : i + B])
-            crops = crop_resize_normalize(fr, bx, out_size=256)
+        for i in range(0, len(frames_dev), B):
+            crops = crop_resize_normalize(
+                jax.lax.dynamic_slice_in_dim(frames_dev, i, B),
+                jax.lax.dynamic_slice_in_dim(boxes_dev, i, B),
+                out_size=256)
             crops = crops[:, :, :, :192]  # 256×192 top-down crop
             hm = self.m.pose2d_apply(crops)
             k_hm, scores = decode_heatmaps(hm)
             k_img = heatmap_to_image_coords(
-                np.asarray(k_hm), boxes[i : i + B],
+                np.asarray(k_hm), boxes_pad[i : i + B],
                 heatmap_size=(64, 48), crop_size=(256, 192))
             kps.append(np.concatenate(
                 [k_img, np.asarray(scores)[..., None]], axis=-1))
-        return np.concatenate(kps)
+        return np.concatenate(kps)[:n]
 
     def run_tracklet(self, frames: np.ndarray, bboxes_cxcywh: np.ndarray,
                      frame_ids: np.ndarray,
@@ -170,7 +180,7 @@ class DemoPipeline:
 
         # --- 2D keypoints (COCO-17 + pelvis/neck → 19) ---
         if keypoints is None:
-            keypoints = self.keypoints_for_crops(frames, crop_boxes)
+            keypoints = self.keypoints_for_crops(frames_dev, crop_boxes, n)
         kp19 = add_pelvis_and_neck(keypoints[..., :2], lhip=11, rhip=12,
                                    lshoulder=5, rshoulder=6)
 
