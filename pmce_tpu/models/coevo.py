@@ -24,6 +24,8 @@ Architecture parity target: /root/reference/lib/models/CoevoDecoder.py
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -48,6 +50,7 @@ class CoevoBlock(nn.Module):
     vertx_heads: int = 2
     mlp_ratio: float = 4.0
     drop_path: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, joint: jax.Array, vertx: jax.Array, cond: jax.Array,
@@ -67,40 +70,50 @@ class CoevoBlock(nn.Module):
         j2v_K = self.param("j2v_K_embed", init,
                            (1, self.num_joint, self.vertx_dim))
 
-        joint_feat = nn.Dense(self.joint_dim, name="joint_proj")(joint)
-        vertx_feat = nn.Dense(self.vertx_dim, name="vertx_proj")(vertx)
+        joint_feat = nn.Dense(self.joint_dim, dtype=self.dtype,
+                              name="joint_proj")(joint)
+        vertx_feat = nn.Dense(self.vertx_dim, dtype=self.dtype,
+                              name="vertx_proj")(vertx)
         joint_feat = joint_feat + joint_pos
         vertx_feat = vertx_feat + vertx_pos
 
         # Simultaneous cross-attention update: both directions read the
         # PRE-update features of the other stream.
-        v_as_j = nn.Dense(self.joint_dim, name="proj_v2j_dim")(vertx_feat)
-        j_as_v = nn.Dense(self.vertx_dim, name="proj_j2v_dim")(joint_feat)
+        v_as_j = nn.Dense(self.joint_dim, dtype=self.dtype,
+                          name="proj_v2j_dim")(vertx_feat)
+        j_as_v = nn.Dense(self.vertx_dim, dtype=self.dtype,
+                          name="proj_j2v_dim")(joint_feat)
         joint_new = CrossAttentionBlock(
             q_dim=self.joint_dim, k_dim=self.joint_dim, v_dim=self.vertx_dim,
             num_heads=self.joint_heads, mlp_ratio=self.mlp_ratio,
-            qkv_bias=True, drop_path=self.drop_path, name="joint_CA_FFN",
+            qkv_bias=True, drop_path=self.drop_path, dtype=self.dtype,
+            name="joint_CA_FFN",
         )(joint_feat + j_Q, v_as_j + v2j_K, vertx_feat, cond, deterministic)
         vertx_new = CrossAttentionBlock(
             q_dim=self.vertx_dim, k_dim=self.vertx_dim, v_dim=self.joint_dim,
             num_heads=self.vertx_heads, mlp_ratio=self.mlp_ratio,
-            qkv_bias=True, drop_path=self.drop_path, name="vertx_CA_FFN",
+            qkv_bias=True, drop_path=self.drop_path, dtype=self.dtype,
+            name="vertx_CA_FFN",
         )(vertx_feat + v_Q, j_as_v + j2v_K, joint_feat, cond, deterministic)
 
         joint_new = AdaBlock(
             self.joint_dim, self.joint_heads, self.mlp_ratio, qkv_bias=True,
-            drop_path=self.drop_path, name="joint_SA_FFN",
+            drop_path=self.drop_path, dtype=self.dtype, name="joint_SA_FFN",
         )(joint_new, cond, deterministic)
         vertx_new = AdaBlock(
             self.vertx_dim, self.vertx_heads, self.mlp_ratio, qkv_bias=True,
-            drop_path=self.drop_path, name="vertx_SA_FFN",
+            drop_path=self.drop_path, dtype=self.dtype, name="vertx_SA_FFN",
         )(vertx_new, cond, deterministic)
 
         joint_out = (
-            nn.Dense(3, name="proj_joint_feat2coor")(joint_new) + joint[..., :3]
+            nn.Dense(3, dtype=self.dtype,
+                     name="proj_joint_feat2coor")(joint_new)
+            + joint[..., :3]
         )
         vertx_out = (
-            nn.Dense(3, name="proj_vertx_feat2coor")(vertx_new) + vertx[..., :3]
+            nn.Dense(3, dtype=self.dtype,
+                     name="proj_vertx_feat2coor")(vertx_new)
+            + vertx[..., :3]
         )
         return joint_out, vertx_out
 
@@ -126,6 +139,7 @@ class CoevolutionDecoder(nn.Module):
     num_blocks: int = 3
     gru_hidden: int = 1024
     seqlen: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, joints: jax.Array, img_feats: jax.Array,
@@ -138,9 +152,8 @@ class CoevolutionDecoder(nn.Module):
         B = joints.shape[0]
 
         # Temporal aggregation: BiGRU over T, take the mid-frame output.
-        y = BiGRU(self.gru_hidden, num_layers=2, name="gru_cur")(
-            jnp.swapaxes(img_feats, 0, 1)
-        )                                             # [T, B, 2048]
+        y = BiGRU(self.gru_hidden, num_layers=2, dtype=self.dtype,
+                  name="gru_cur")(jnp.swapaxes(img_feats, 0, 1))                                             # [T, B, 2048]
         cond = y[self.seqlen // 2]                    # [B, 2048]
 
         # Initialize each coarse vertex at its nearest template joint.
@@ -153,23 +166,26 @@ class CoevolutionDecoder(nn.Module):
         for i in range(self.num_blocks):
             evo_pose, vertx = CoevoBlock(
                 self.num_joint, self.num_vertx, self.joint_dim,
-                self.vertx_dim, name=f"coevoblock{i + 1}",
+                self.vertx_dim, dtype=self.dtype,
+                name=f"coevoblock{i + 1}",
             )(joints, vertx, cond, deterministic)
 
         # Conv1d(431→6890, k=3, pad 1) over the coordinate axis: treat the
         # 431 vertices as channels and x/y/z as the length-3 spatial dim.
         mesh = nn.Conv(
             features=self.num_verts_full, kernel_size=(3,), padding=1,
-            name="upsample_conv",
+            dtype=self.dtype, name="upsample_conv",
         )(vertx.transpose(0, 2, 1)).transpose(0, 2, 1)  # [B, 6890, 3]
 
         # Per-axis residuals from the ReLU'd GRU mid feature.
         feat = jax.nn.relu(cond)
         res = jnp.stack(
             [
-                nn.Dense(self.num_verts_full, name=f"linear_cur{i + 1}")(feat)
+                nn.Dense(self.num_verts_full, dtype=self.dtype,
+                         name=f"linear_cur{i + 1}")(feat)
                 for i in range(3)
             ],
             axis=-1,
         )                                             # [B, 6890, 3]
-        return evo_pose, mesh + res
+        out = (mesh + res).astype(jnp.float32)
+        return evo_pose.astype(jnp.float32), out

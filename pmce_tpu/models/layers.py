@@ -18,11 +18,17 @@ variant — torch's default — not jax's tanh approximation.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _attn_precision(dtype) -> jax.lax.Precision | None:
+    """f32 runs pin HIGHEST (3-pass MXU) for metric-grade accuracy; a bf16
+    serving policy uses the native bf16 MXU pass."""
+    return None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
 
 def exact_gelu(x: jax.Array) -> jax.Array:
@@ -51,13 +57,14 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = exact_gelu(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = nn.Dense(self.out_dim, name="fc2")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -70,25 +77,27 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         B, N, C = x.shape
         H = self.num_heads
         dh = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          precision=jax.lax.Precision.HIGHEST) * dh ** -0.5
+                          precision=_attn_precision(self.dtype)) * dh ** -0.5
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=_attn_precision(self.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -104,16 +113,20 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     norm_eps: float = 1e-6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
-                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+                      self.attn_drop, self.drop, dtype=self.dtype,
+                      name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
-        h = nn.LayerNorm(epsilon=self.norm_eps, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm2")(x)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                name="mlp")(h, deterministic)
+                dtype=self.dtype, name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
         return x
 
@@ -128,11 +141,14 @@ class AdaLayerNorm(nn.Module):
     num_features: int
     cond_dim: int = 2048
     eps: float = 1e-6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array) -> jax.Array:
-        gamma = nn.Dense(self.num_features, name="mlp_gamma")(cond)
-        beta = nn.Dense(self.num_features, name="mlp_beta")(cond)
+        gamma = nn.Dense(self.num_features, dtype=self.dtype,
+                         name="mlp_gamma")(cond)
+        beta = nn.Dense(self.num_features, dtype=self.dtype,
+                        name="mlp_beta")(cond)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         n = x.shape[-1]
         var = jnp.var(x, axis=-1, keepdims=True) * (n / (n - 1))
@@ -156,6 +172,7 @@ class CrossAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xq: jax.Array, xk: jax.Array, xv: jax.Array,
@@ -166,21 +183,24 @@ class CrossAttention(nn.Module):
         dh = C // H
         dv = self.v_dim // H
 
-        q = nn.Dense(C, use_bias=self.qkv_bias, name="wq")(xq)
-        k = nn.Dense(C, use_bias=self.qkv_bias, name="wk")(xk)
-        v = nn.Dense(self.v_dim, use_bias=self.qkv_bias, name="wv")(xv)
+        q = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="wq")(xq)
+        k = nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="wk")(xk)
+        v = nn.Dense(self.v_dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="wv")(xv)
         q = q.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, M, H, dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, M, H, dv).transpose(0, 2, 1, 3)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          precision=jax.lax.Precision.HIGHEST) * dh ** -0.5
+                          precision=_attn_precision(self.dtype)) * dh ** -0.5
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=_attn_precision(self.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, N, self.v_dim)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -195,17 +215,19 @@ class AdaBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array,
                  deterministic: bool = True) -> jax.Array:
-        h = AdaLayerNorm(self.dim, name="norm1")(x, cond)
+        h = AdaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x, cond)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
-                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+                      self.attn_drop, self.drop, dtype=self.dtype,
+                      name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
-        h = AdaLayerNorm(self.dim, name="norm2")(x, cond)
+        h = AdaLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x, cond)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
-                name="mlp")(h, deterministic)
+                dtype=self.dtype, name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
         return x
 
@@ -222,20 +244,22 @@ class CrossAttentionBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xq: jax.Array, xk: jax.Array, xv: jax.Array,
                  cond: jax.Array, deterministic: bool = True) -> jax.Array:
-        nq = AdaLayerNorm(self.q_dim, name="normq")(xq, cond)
-        nk = AdaLayerNorm(self.k_dim, name="normk")(xk, cond)
-        nv = AdaLayerNorm(self.v_dim, name="normv")(xv, cond)
+        nq = AdaLayerNorm(self.q_dim, dtype=self.dtype, name="normq")(xq, cond)
+        nk = AdaLayerNorm(self.k_dim, dtype=self.dtype, name="normk")(xk, cond)
+        nv = AdaLayerNorm(self.v_dim, dtype=self.dtype, name="normv")(xv, cond)
         h = CrossAttention(self.q_dim, self.v_dim, self.num_heads,
                            self.qkv_bias, self.attn_drop, self.drop,
+                           dtype=self.dtype,
                            name="attn")(nq, nk, nv, deterministic)
         xq = xq + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
-        h = AdaLayerNorm(self.q_dim, name="norm2")(xq, cond)
+        h = AdaLayerNorm(self.q_dim, dtype=self.dtype, name="norm2")(xq, cond)
         h = Mlp(int(self.q_dim * self.mlp_ratio), self.q_dim, self.drop,
-                name="mlp")(h, deterministic)
+                dtype=self.dtype, name="mlp")(h, deterministic)
         xq = xq + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
         return xq
 
@@ -254,6 +278,7 @@ class BiGRU(nn.Module):
 
     hidden_dim: int
     num_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -268,9 +293,10 @@ class BiGRU(nn.Module):
         for layer in range(self.num_layers):
             outs = []
             for direction, name in ((1, "fwd"), (-1, "bwd")):
-                cell = TorchGRUCell(self.hidden_dim,
+                cell = TorchGRUCell(self.hidden_dim, dtype=self.dtype,
                                     name=f"l{layer}_{name}")
-                h0 = jnp.zeros((B, self.hidden_dim), x.dtype)
+                h0 = jnp.zeros((B, self.hidden_dim),
+                               self.dtype or x.dtype)
                 seq = x if direction == 1 else x[::-1]
                 gi_all = cell.precompute_inputs(seq)   # [T, B, 3H] at once
 
@@ -292,10 +318,11 @@ class TorchGRUCell(nn.Module):
     """A single GRU cell with torch's gate math and weight layout."""
 
     hidden_dim: int
+    dtype: Any = None
 
     def setup(self):
-        self.ih = nn.Dense(3 * self.hidden_dim, name="ih")
-        self.hh = nn.Dense(3 * self.hidden_dim, name="hh")
+        self.ih = nn.Dense(3 * self.hidden_dim, dtype=self.dtype, name="ih")
+        self.hh = nn.Dense(3 * self.hidden_dim, dtype=self.dtype, name="hh")
 
     def precompute_inputs(self, x: jax.Array) -> jax.Array:
         """Input-gate projections for a whole [T, B, I] sequence."""

@@ -10,6 +10,7 @@ the same triple the reference trainer consumes
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -36,15 +37,20 @@ class PMCE(nn.Module):
     num_vertx: int = 431
     num_verts_full: int = 6890
     seqlen: int = 16
+    # Compute dtype policy: None = float32 with pinned-precision attention
+    # (metric-grade); jnp.bfloat16 = serving fast path (params stay f32,
+    # activations/matmuls run bf16, outputs cast back to f32).
+    dtype: Any = None
 
     def setup(self):
         self.pose_lifter = PoseLifter(
             num_joints=self.num_joint, num_frames=self.seqlen,
-            embed_dim=self.embed_dim, depth=self.depth, name="pose_lifter")
+            embed_dim=self.embed_dim, depth=self.depth, dtype=self.dtype,
+            name="pose_lifter")
         self.pose_mesh_coevo = CoevolutionDecoder(
             num_joint=self.num_joint, vj_relation=self.vj_relation,
             num_vertx=self.num_vertx, num_verts_full=self.num_verts_full,
-            seqlen=self.seqlen, name="pose_mesh_coevo")
+            seqlen=self.seqlen, dtype=self.dtype, name="pose_mesh_coevo")
 
     def __call__(self, pose2d: jax.Array, img_feat: jax.Array,
                  deterministic: bool = True):
@@ -133,13 +139,13 @@ def create_pmce(num_joint: int, art: SMPLArtifacts,
                 coarsening: MeshCoarsening,
                 joint_regressor_h36m: np.ndarray | None = None,
                 embed_dim: int = 256, depth: int = 3,
-                seqlen: int = 16) -> tuple[PMCE, PMCEAssets]:
+                seqlen: int = 16, dtype=None) -> tuple[PMCE, PMCEAssets]:
     """Factory mirroring the reference's ``models.PMCE.get_model``."""
     assets = default_assets(art, coarsening, joint_regressor_h36m)
     model = PMCE(
         num_joint=num_joint, embed_dim=embed_dim, depth=depth,
         vj_relation=assets.vj_relation,
         num_vertx=coarsening.sizes[-1],
-        num_verts_full=art.num_verts, seqlen=seqlen,
+        num_verts_full=art.num_verts, seqlen=seqlen, dtype=dtype,
     )
     return model, assets

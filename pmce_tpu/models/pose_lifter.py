@@ -20,6 +20,8 @@ XLA.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -42,11 +44,13 @@ class PoseLifter(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     img_feat_dim: int = 2048
+    dtype: Any = None
 
     def setup(self):
         C = self.embed_dim
-        self.joint_embed = nn.Dense(C, name="joint_embed")
-        self.imgfeat_embed = nn.Dense(C, name="imgfeat_embed")
+        self.joint_embed = nn.Dense(C, dtype=self.dtype, name="joint_embed")
+        self.imgfeat_embed = nn.Dense(C, dtype=self.dtype,
+                                      name="imgfeat_embed")
         self.spatial_pos_embed = self.param(
             "spatial_pos_embed", nn.initializers.zeros,
             (1, self.num_joints, C))
@@ -59,23 +63,26 @@ class PoseLifter(nn.Module):
         self.spatial_blocks = [
             Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
                   self.drop_rate, self.attn_drop_rate, float(dpr[i]),
-                  name=f"spatial_block{i}")
+                  dtype=self.dtype, name=f"spatial_block{i}")
             for i in range(self.depth)
         ]
         self.temporal_blocks = [
             Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
                   self.drop_rate, self.attn_drop_rate, float(dpr[i]),
-                  name=f"temporal_block{i}")
+                  dtype=self.dtype, name=f"temporal_block{i}")
             for i in range(self.depth)
         ]
         # Shared across all depths, applied after every block — a deliberate
         # quirk of the reference (PoseEstimation.py:59-60,85,92,104,107).
-        self.norm_s = nn.LayerNorm(epsilon=1e-6, name="norm_s")
-        self.norm_t = nn.LayerNorm(epsilon=1e-6, name="norm_t")
+        self.norm_s = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name="norm_s")
+        self.norm_t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name="norm_t")
 
         # Regression head: torch's default LayerNorm eps (1e-5) here.
-        self.head_norm = nn.LayerNorm(epsilon=1e-5, name="head_norm")
-        self.head_proj = nn.Dense(3, name="head_proj")
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="head_norm")
+        self.head_proj = nn.Dense(3, dtype=self.dtype, name="head_proj")
         # Frame fusion — Conv2d(T→1, k=1) ≡ a [T] weight vector + bias.
         bound = 1.0 / float(np.sqrt(self.num_frames))
         self.fusion_weight = self.param(
@@ -128,6 +135,10 @@ class PoseLifter(nn.Module):
 
         x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3)    # [B,T,J,C]
         x = self.head_proj(self.head_norm(x))              # [B,T,J,3]
-        out = jnp.einsum("t,btjc->bjc", self.fusion_weight, x,
-                         precision=jax.lax.Precision.HIGHEST)
-        return out + self.fusion_bias[0]
+        out = jnp.einsum(
+            "t,btjc->bjc",
+            self.fusion_weight.astype(x.dtype)
+            if self.dtype is not None else self.fusion_weight,
+            x, precision=(None if self.dtype == jnp.bfloat16
+                          else jax.lax.Precision.HIGHEST))
+        return (out + self.fusion_bias[0]).astype(jnp.float32)

@@ -175,3 +175,28 @@ def test_pose_lifter_mid_frame_units(rng):
     pose2d_b[0, 0] += 1.0  # perturb the FIRST frame only
     out_b = model.apply(params, jnp.asarray(pose2d_b), jnp.asarray(feat))
     assert np.abs(np.asarray(out) - np.asarray(out_b)).max() > 1e-6
+
+
+def test_bf16_serving_mode(small_pmce):
+    """dtype=bf16 keeps the SAME param tree (f32 params) and produces
+    outputs close to the f32 path (serving fast path, not metric-grade)."""
+    model, params, assets, pose2d, feat = small_pmce
+    model_bf16 = model.__class__(**{**{f.name: getattr(model, f.name)
+                                       for f in model.__dataclass_fields__.values()
+                                       if f.name not in ("parent", "name")},
+                                    "dtype": jnp.bfloat16})
+    # Same parameter structure: the f32 checkpoint loads directly.
+    p2 = model_bf16.init(jax.random.PRNGKey(0), jnp.asarray(pose2d),
+                         jnp.asarray(feat))
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(params)):
+        assert a.dtype == b.dtype == jnp.float32
+
+    out32 = model.apply(params, jnp.asarray(pose2d), jnp.asarray(feat))
+    out16 = model_bf16.apply(params, jnp.asarray(pose2d), jnp.asarray(feat))
+    for a, b in zip(out16, out32):
+        assert a.dtype == jnp.float32
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(b).max()) + 1e-9)
+        assert rel < 0.1, rel  # bf16 serving: coarse but sane
