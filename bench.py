@@ -61,12 +61,16 @@ def main() -> None:
     out = fwd(params, *inputs[0])
     jax.block_until_ready(out)
 
+    # Median of several trials: the dev tunnel adds run-to-run dispatch
+    # jitter, the device-side time does not vary.
     iters = 32
-    t0 = time.time()
-    outs = [fwd(params, *inputs[i % 8]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / iters
-    fps = B / dt
+    rates = []
+    for _ in range(5):
+        t0 = time.time()
+        outs = [fwd(params, *inputs[i % 8]) for i in range(iters)]
+        jax.block_until_ready(outs)
+        rates.append(B * iters / (time.time() - t0))
+    fps = float(np.median(rates))
 
     print(json.dumps({
         "metric": "pmce_mesh_recovery_throughput",
