@@ -41,12 +41,15 @@ class PMCE(nn.Module):
     # (metric-grade); jnp.bfloat16 = serving fast path (params stay f32,
     # activations/matmuls run bf16, outputs cast back to f32).
     dtype: Any = None
+    # Route lifter self-attention through the fused short-sequence Pallas
+    # kernel (ops/fused_attention.py). Same params/math; big TPU win.
+    fused_attn: bool = False
 
     def setup(self):
         self.pose_lifter = PoseLifter(
             num_joints=self.num_joint, num_frames=self.seqlen,
             embed_dim=self.embed_dim, depth=self.depth, dtype=self.dtype,
-            name="pose_lifter")
+            fused_attn=self.fused_attn, name="pose_lifter")
         self.pose_mesh_coevo = CoevolutionDecoder(
             num_joint=self.num_joint, vj_relation=self.vj_relation,
             num_vertx=self.num_vertx, num_verts_full=self.num_verts_full,
@@ -139,7 +142,8 @@ def create_pmce(num_joint: int, art: SMPLArtifacts,
                 coarsening: MeshCoarsening,
                 joint_regressor_h36m: np.ndarray | None = None,
                 embed_dim: int = 256, depth: int = 3,
-                seqlen: int = 16, dtype=None) -> tuple[PMCE, PMCEAssets]:
+                seqlen: int = 16, dtype=None,
+                fused_attn: bool = False) -> tuple[PMCE, PMCEAssets]:
     """Factory mirroring the reference's ``models.PMCE.get_model``."""
     assets = default_assets(art, coarsening, joint_regressor_h36m)
     model = PMCE(
@@ -147,5 +151,6 @@ def create_pmce(num_joint: int, art: SMPLArtifacts,
         vj_relation=assets.vj_relation,
         num_vertx=coarsening.sizes[-1],
         num_verts_full=art.num_verts, seqlen=seqlen, dtype=dtype,
+        fused_attn=fused_attn,
     )
     return model, assets

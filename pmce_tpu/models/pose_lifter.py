@@ -45,6 +45,7 @@ class PoseLifter(nn.Module):
     drop_path_rate: float = 0.2
     img_feat_dim: int = 2048
     dtype: Any = None
+    fused_attn: bool = False
 
     def setup(self):
         C = self.embed_dim
@@ -63,13 +64,15 @@ class PoseLifter(nn.Module):
         self.spatial_blocks = [
             Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
                   self.drop_rate, self.attn_drop_rate, float(dpr[i]),
-                  dtype=self.dtype, name=f"spatial_block{i}")
+                  dtype=self.dtype, fused=self.fused_attn,
+                  name=f"spatial_block{i}")
             for i in range(self.depth)
         ]
         self.temporal_blocks = [
             Block(C, self.num_heads, self.mlp_ratio, self.qkv_bias,
                   self.drop_rate, self.attn_drop_rate, float(dpr[i]),
-                  dtype=self.dtype, name=f"temporal_block{i}")
+                  dtype=self.dtype, fused=self.fused_attn,
+                  name=f"temporal_block{i}")
             for i in range(self.depth)
         ]
         # Shared across all depths, applied after every block — a deliberate

@@ -1,0 +1,83 @@
+"""Fused short-sequence MHSA Pallas kernel vs the pure-XLA path.
+
+The kernel (ops/fused_attention.py) must be a drop-in for the Attention
+module: same parameters, same math, gradients flow (custom VJP recompute).
+On the CPU test backend it runs in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmce_tpu.models.layers import Attention
+from pmce_tpu.ops.fused_attention import fused_mhsa, mhsa_reference
+
+
+def _rand_weights(rng, C):
+    return (
+        jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * C,)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(C, C)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("B,N,C,H", [
+    (48, 19, 256, 8),   # spatial blocks (19 joints)
+    (32, 16, 256, 8),   # temporal blocks (16 frames)
+    (7, 19, 64, 8),     # coevo joint stream dims; B not divisible by group
+    (3, 431, 64, 2),    # coevo vertex stream (431 coarse vertices)
+])
+def test_fused_matches_reference(B, N, C, H):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    w = _rand_weights(rng, C)
+    out = fused_mhsa(x, *w, H)
+    ref = mhsa_reference(x, *w, num_heads=H)
+    assert out.shape == (B, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_module_parity():
+    """Attention(fused=True) == Attention(fused=False) with shared params."""
+    rng = np.random.default_rng(1)
+    B, N, C, H = 12, 19, 128, 8
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    plain = Attention(C, H, fused=False)
+    fused = Attention(C, H, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    y0 = plain.apply(params, x)
+    y1 = fused.apply(params, x)  # same param tree must be accepted
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_flow():
+    rng = np.random.default_rng(2)
+    B, N, C, H = 4, 16, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    w = _rand_weights(rng, C)
+
+    g_fused = jax.grad(lambda x, *w: jnp.sum(fused_mhsa(x, *w, H) ** 2),
+                       argnums=(0, 1, 2, 3, 4))(x, *w)
+    g_ref = jax.grad(
+        lambda x, *w: jnp.sum(mhsa_reference(x, *w, num_heads=H) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, *w)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bf16():
+    rng = np.random.default_rng(3)
+    B, N, C, H = 8, 19, 256, 8
+    x32 = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    w = _rand_weights(rng, C)
+    out = fused_mhsa(x32.astype(jnp.bfloat16), *w, H)
+    assert out.dtype == jnp.bfloat16
+    ref = mhsa_reference(x32, *w, num_heads=H)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 0.05, err.max() / scale
