@@ -87,6 +87,47 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class LayerNormParams(nn.Module):
+    """Owns ``nn.LayerNorm``-layout parameters (scale/bias) unapplied."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class AttentionParams(nn.Module):
+    """Param tree identical to :class:`Attention` (qkv + proj Dense)."""
+
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = DenseParams(self.dim, 3 * self.dim, self.qkv_bias,
+                                 name="qkv")()
+        wproj, bproj = DenseParams(self.dim, self.dim, True, name="proj")()
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * self.dim,), jnp.float32)
+        return wqkv, bqkv, wproj, bproj
+
+
+class MlpParams(nn.Module):
+    """Param tree identical to :class:`Mlp` (fc1 + fc2 Dense)."""
+
+    in_dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.in_dim, self.hidden_dim, name="fc1")()
+        w2, b2 = DenseParams(self.hidden_dim, self.in_dim, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with a fused qkv projection (timm layout).
 
@@ -141,7 +182,15 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
-    """Pre-norm transformer block (LayerNorm → MHA → LN → MLP)."""
+    """Pre-norm transformer block (LayerNorm → MHA → LN → MLP).
+
+    With ``fused=True`` and no active dropout / stochastic depth (i.e. any
+    inference call, or training with zero rates) the whole block — plus an
+    optional caller-supplied shared post-LayerNorm — runs as ONE Pallas
+    kernel (:func:`pmce_tpu.ops.fused_attention.fused_transformer_block`):
+    one HBM read and write of x per layer. Parameters live in the exact
+    same tree as the modular path, so checkpoints are interchangeable.
+    """
 
     dim: int
     num_heads: int
@@ -155,19 +204,84 @@ class Block(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 post_norm: tuple | None = None) -> jax.Array:
+        hidden = int(self.dim * self.mlp_ratio)
+        fully_fused = self.fused and (
+            deterministic
+            or (self.drop == 0.0 and self.attn_drop == 0.0
+                and self.drop_path == 0.0))
+        if self.fused:
+            # Declare params through the holders in BOTH fused branches so
+            # init produces one consistent tree regardless of determinism.
+            g1, b1 = LayerNormParams(self.dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj = AttentionParams(
+                self.dim, self.qkv_bias, name="attn")()
+            g2, b2 = LayerNormParams(self.dim, name="norm2")()
+            w1, bb1, w2, bb2 = MlpParams(self.dim, hidden, name="mlp")()
+
+        if fully_fused:
+            from pmce_tpu.ops.fused_attention import fused_transformer_block
+
+            gp, bp = post_norm if post_norm is not None else (None, None)
+            dt = self.dtype or x.dtype
+            params = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                      w1, bb1, w2, bb2, gp, bp)
+            return fused_transformer_block(
+                x.astype(dt), params, self.num_heads, self.norm_eps,
+                self.norm_eps).astype(x.dtype)
+
+        if self.fused:
+            # Training fallback (stochastic depth active): modular math on
+            # the SAME parameter arrays, fused attention kernel inside.
+            from pmce_tpu.ops.fused_attention import fused_mhsa
+
+            dt = self.dtype or x.dtype
+            h = _manual_layer_norm(x, g1, b1, self.norm_eps, dt)
+            h = fused_mhsa(h.astype(dt), wqkv, bqkv, wproj, bproj,
+                           self.num_heads)
+            x = x + DropPath(self.drop_path,
+                             name="drop_path1")(h.astype(x.dtype),
+                                                deterministic)
+            h = _manual_layer_norm(x, g2, b2, self.norm_eps, dt)
+            h = exact_gelu(h @ w1.astype(dt) + bb1.astype(dt))
+            h = nn.Dropout(self.drop, deterministic=deterministic)(h)
+            h = h @ w2.astype(dt) + bb2.astype(dt)
+            h = nn.Dropout(self.drop, deterministic=deterministic)(h)
+            x = x + DropPath(self.drop_path,
+                             name="drop_path2")(h.astype(x.dtype),
+                                                deterministic)
+            if post_norm is not None:
+                x = _manual_layer_norm(x, post_norm[0], post_norm[1],
+                                       self.norm_eps, dt).astype(x.dtype)
+            return x
+
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
                          name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
                       self.attn_drop, self.drop, dtype=self.dtype,
-                      fused=self.fused, name="attn")(h, deterministic)
+                      fused=False, name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
                          name="norm2")(x)
-        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+        h = Mlp(hidden, self.dim, self.drop,
                 dtype=self.dtype, name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        if post_norm is not None:
+            x = _manual_layer_norm(x, post_norm[0], post_norm[1],
+                                   self.norm_eps,
+                                   self.dtype or x.dtype).astype(x.dtype)
         return x
+
+
+def _manual_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                       eps: float, dtype) -> jax.Array:
+    """LayerNorm with f32 statistics (flax semantics) on explicit params."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(dtype)
 
 
 class AdaLayerNorm(nn.Module):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pmce_tpu.models.layers import Block
+from pmce_tpu.models.layers import Block, LayerNormParams
 
 
 class PoseLifter(nn.Module):
@@ -77,10 +77,16 @@ class PoseLifter(nn.Module):
         ]
         # Shared across all depths, applied after every block — a deliberate
         # quirk of the reference (PoseEstimation.py:59-60,85,92,104,107).
-        self.norm_s = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                   name="norm_s")
-        self.norm_t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                   name="norm_t")
+        # In fused mode the params are held unapplied (same tree) and the
+        # norm runs inside each block's Pallas kernel as its post-norm.
+        if self.fused_attn:
+            self.norm_s_params = LayerNormParams(C, name="norm_s")
+            self.norm_t_params = LayerNormParams(C, name="norm_t")
+        else:
+            self.norm_s = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name="norm_s")
+            self.norm_t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name="norm_t")
 
         # Regression head: torch's default LayerNorm eps (1e-5) here.
         self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -111,6 +117,14 @@ class PoseLifter(nn.Module):
         B, T, J, _ = pose2d.shape
         C = self.embed_dim
 
+        if self.fused_attn:
+            norm_s = self.norm_s_params()
+            norm_t = self.norm_t_params()
+            apply_s = apply_t = lambda x: x  # fused into the block kernel
+        else:
+            norm_s, norm_t = None, None
+            apply_s, apply_t = self.norm_s, self.norm_t
+
         x = self.joint_embed(pose2d)                       # [B,T,J,C]
         x = x + self.imgfeat_embed(img_feat)[:, :, None, :]
         x = x + self.spatial_pos_embed[None]
@@ -118,23 +132,23 @@ class PoseLifter(nn.Module):
 
         # --- head pair (block 0): spatial then temporal ---
         x = x.reshape(B * T, J, C)
-        x = self.spatial_blocks[0](x, deterministic)
-        x = self.norm_s(x)
+        x = self.spatial_blocks[0](x, deterministic, post_norm=norm_s)
+        x = apply_s(x)
 
         x = x.reshape(B, T, J, C).transpose(0, 2, 1, 3).reshape(B * J, T, C)
         x = x + self.temporal_pos_embed
         x = self.pos_drop(x, deterministic=deterministic)
-        x = self.temporal_blocks[0](x, deterministic)
-        x = self.norm_t(x)
+        x = self.temporal_blocks[0](x, deterministic, post_norm=norm_t)
+        x = apply_t(x)
 
         # --- remaining pairs ---
         for i in range(1, self.depth):
             x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3).reshape(B * T, J, C)
-            x = self.spatial_blocks[i](x, deterministic)
-            x = self.norm_s(x)
+            x = self.spatial_blocks[i](x, deterministic, post_norm=norm_s)
+            x = apply_s(x)
             x = x.reshape(B, T, J, C).transpose(0, 2, 1, 3).reshape(B * J, T, C)
-            x = self.temporal_blocks[i](x, deterministic)
-            x = self.norm_t(x)
+            x = self.temporal_blocks[i](x, deterministic, post_norm=norm_t)
+            x = apply_t(x)
 
         x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3)    # [B,T,J,C]
         x = self.head_proj(self.head_norm(x))              # [B,T,J,3]

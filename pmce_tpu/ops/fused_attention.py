@@ -44,43 +44,102 @@ def _pick_group(num_clips: int, tokens: int) -> int:
     """Clips per grid step: R = G·N must be sublane-aligned (multiple of 16
     covers both f32 and bf16 tiling), targeting R ≈ 256-512 rows."""
     step = 16 // math.gcd(tokens, 16)
+    # Smallest aligned R ≥ 128: the [R, R] score buffer (and its VPU softmax
+    # cost) grows quadratically in R, while MXU rows saturate at one 128-row
+    # tile — small R wins as long as a full tile is covered.
     g = step
-    while (g + step) * tokens <= 512:
+    while g * tokens < 128:
         g += step
     return g
 
 
-def _mhsa_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
-                 *, num_heads: int, tokens: int):
-    R, C = x_ref.shape
+def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
+    """Masked MHSA on a VMEM-resident [R, C] row block; returns f32 [R, C].
+
+    The softmax is stabilized with the masked row max, masks
+    multiplicatively (one fused VPU pass instead of additive -inf plus
+    re-masking), and defers normalization to the [R, dh] head outputs.
+    """
+    R, C = h.shape
     dh = C // num_heads
     scale = 1.0 / math.sqrt(dh)
 
-    x = x_ref[:]
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:]).astype(x.dtype)          # [R, 3C]
-
-    # Block-diagonal clip mask: row r may attend to col c iff same clip.
-    row_clip = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // tokens
-    col_clip = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // tokens
-    neg = jnp.where(row_clip == col_clip, 0.0, _NEG_INF)  # [R, R] f32
+    qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv).astype(h.dtype)                   # [R, 3C]
 
     outs = []
-    for h in range(num_heads):
-        q = jax.lax.slice(qkv, (0, h * dh), (R, (h + 1) * dh))
-        k = jax.lax.slice(qkv, (0, C + h * dh), (R, C + (h + 1) * dh))
-        v = jax.lax.slice(qkv, (0, 2 * C + h * dh), (R, 2 * C + (h + 1) * dh))
+    for hd in range(num_heads):
+        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                          (R, 2 * C + (hd + 1) * dh))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + neg
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(x.dtype), v,
-                            preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1).astype(x.dtype)   # [R, C]
-    out = jnp.dot(o, wproj_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = (out + bproj_ref[:]).astype(out_ref.dtype)
+            preferred_element_type=jnp.float32) * scale  # [R, R] f32
+        sm = s * mask01
+        m = jnp.max(sm, axis=-1, keepdims=True)          # ≥ in-clip max
+        p = jnp.exp(sm - m) * mask01
+        r = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(h.dtype), v,
+                    preferred_element_type=jnp.float32)
+        outs.append(o / r)                                # deferred softmax ÷
+    o = jnp.concatenate(outs, axis=-1).astype(h.dtype)   # [R, C]
+    return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+
+
+def _mhsa_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, mask_ref,
+                 out_ref, *, num_heads: int):
+    out = _attn_core(x_ref[:], wqkv_ref[:], bqkv_ref[:], wproj_ref[:],
+                     bproj_ref[:], mask_ref[:], num_heads)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _erf_f32(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7; Mosaic has no
+    native erf primitive). Keeps the exact-GELU semantics to well below
+    bf16/f32 test tolerance."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ln_f32(xf, scale, bias, eps):
+    """LayerNorm on an f32 [R, C] block (f32 stats, like flax)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                  bproj_ref, g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref,
+                  bb2_ref, gp_ref, bp_ref, mask_ref, out_ref,
+                  *, num_heads: int, eps: float, post_norm: bool,
+                  post_eps: float):
+    """Whole pre-norm transformer block in one VMEM pass:
+
+        x1 = x + MHSA(LN1(x));  y = x1 + MLP(LN2(x1));  [y = PostLN(y)]
+
+    MLP is Dense → exact (erf) GELU → Dense, matching models/layers.Mlp.
+    """
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    h1 = _ln_f32(xf, g1_ref[:], b1_ref[:], eps).astype(x.dtype)
+    a = _attn_core(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:], bproj_ref[:],
+                   mask_ref[:], num_heads)
+    x1 = xf + a                                          # f32 [R, C]
+
+    h2 = _ln_f32(x1, g2_ref[:], b2_ref[:], eps).astype(x.dtype)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+    hh = hh + bb1_ref[:]
+    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))  # exact GELU
+    mo = jnp.dot(hh.astype(x.dtype), w2_ref[:],
+                 preferred_element_type=jnp.float32) + bb2_ref[:]
+    y = x1 + mo
+    if post_norm:
+        y = _ln_f32(y, gp_ref[:], bp_ref[:], post_eps)
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def mhsa_reference(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
@@ -119,6 +178,26 @@ def fused_mhsa(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     return _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads)
 
 
+def _clip_mask(G: int, N: int) -> jnp.ndarray:
+    """Block-diagonal 0/1 mask [G·N, G·N] (compile-time constant)."""
+    import numpy as np
+
+    clip = np.arange(G * N) // N
+    return jnp.asarray((clip[:, None] == clip[None, :]).astype("float32"))
+
+
+def _prep(x, wqkv, bqkv, wproj, bproj, G):
+    """Pad clips to a multiple of G; cast weights to the compute dtype."""
+    B, N, C = x.shape
+    dtype = x.dtype
+    pad = (-B) % G
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, N, C), dtype)], axis=0)
+    return (x.reshape((B + pad) * N, C), wqkv.astype(dtype),
+            bqkv.astype(jnp.float32).reshape(1, -1), wproj.astype(dtype),
+            bproj.astype(jnp.float32).reshape(1, -1), B + pad, pad)
+
+
 def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
     B, N, C = x.shape
     dtype = x.dtype
@@ -127,38 +206,19 @@ def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
         # G-clips-per-block design; XLA's native path is fine there.
         return mhsa_reference(x, wqkv, bqkv, wproj, bproj, num_heads)
     G = _pick_group(B, N)
-    pad = (-B) % G
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad, N, C), dtype)], axis=0)
-    Bp = B + pad
     R = G * N
+    x2, wqkv, bqkv, wproj, bproj, Bp, pad = _prep(
+        x, wqkv, bqkv, wproj, bproj, G)
 
-    x2 = x.reshape(Bp * N, C)
-    wqkv = wqkv.astype(dtype)
-    wproj = wproj.astype(dtype)
-    bqkv = bqkv.astype(jnp.float32).reshape(1, 3 * C)
-    bproj = bproj.astype(jnp.float32).reshape(1, C)
-
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     flops = Bp // G * (2 * R * C * 3 * C + num_heads * 2 * 2 * R * R *
                        (C // num_heads) + 2 * R * C * C)
     out = pl.pallas_call(
-        functools.partial(_mhsa_kernel, num_heads=num_heads, tokens=N),
+        functools.partial(_mhsa_kernel, num_heads=num_heads),
         grid=(Bp // G,),
-        in_specs=[
-            pl.BlockSpec((R, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[rows] + [full] * 5,
+        out_specs=rows,
         out_shape=jax.ShapeDtypeStruct((Bp * N, C), dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -167,7 +227,7 @@ def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
         ),
         # CPU (the virtual-mesh test backend) runs the kernel interpreted.
         interpret=jax.default_backend() != "tpu",
-    )(x2, wqkv, bqkv, wproj, bproj)
+    )(x2, wqkv, bqkv, wproj, bproj, _clip_mask(G, N))
     out = out.reshape(Bp, N, C)
     return out[:B] if pad else out
 
@@ -186,3 +246,116 @@ def _fused_mhsa_bwd(num_heads, res, g):
 
 
 fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-transformer-block fusion: LN1 → MHSA → +res → LN2 → MLP → +res
+# (→ optional shared post-LN, the lifter's norm_s/norm_t quirk).
+# One HBM read + one write of x per layer.
+# ---------------------------------------------------------------------------
+
+
+def _ln_ref(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y
+
+
+def block_reference(x, params, num_heads, eps=1e-6, post_eps=1e-6):
+    """Pure-XLA reference of the fused block (VJP + test oracle)."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
+     gp, bp) = params
+    dtype = x.dtype
+    h1 = _ln_ref(x, g1, b1, eps).astype(dtype)
+    x1 = (x.astype(jnp.float32)
+          + mhsa_reference(h1, wqkv, bqkv, wproj, bproj,
+                           num_heads).astype(jnp.float32))
+    h2 = _ln_ref(x1, g2, b2, eps).astype(dtype)
+    hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+    mo = (hh.astype(dtype) @ w2.astype(dtype)).astype(jnp.float32) + bb2
+    y = x1 + mo
+    if gp is not None:
+        y = _ln_ref(y, gp, bp, post_eps)
+    return y.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_transformer_block(x, params, num_heads, eps=1e-6, post_eps=1e-6):
+    """Fused pre-norm transformer block for short token sequences.
+
+    Args:
+      x: [B, N, C] tokens (N ≤ 64).
+      params: tuple (ln1_scale, ln1_bias, wqkv [C,3C], bqkv [3C],
+        wproj [C,C], bproj [C], ln2_scale, ln2_bias, w_fc1 [C,hid],
+        b_fc1 [hid], w_fc2 [hid,C], b_fc2 [C], post_scale|None, post_bias).
+        A ``None`` post_scale skips the trailing shared LayerNorm.
+      num_heads / eps / post_eps: static config.
+
+    Returns:
+      [B, N, C], same dtype as x.
+    """
+    return _fused_block_impl(x, params, num_heads, eps, post_eps)
+
+
+def _fused_block_impl(x, params, num_heads, eps, post_eps):
+    B, N, C = x.shape
+    dtype = x.dtype
+    if N > 64:
+        return block_reference(x, params, num_heads, eps, post_eps)
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
+     gp, bp) = params
+    post = gp is not None
+    G = _pick_group(B, N)
+    R = G * N
+    x2, wqkv, bqkv, wproj, bproj, Bp, pad = _prep(
+        x, wqkv, bqkv, wproj, bproj, G)
+    hid = w1.shape[1]
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    if not post:
+        gp = jnp.ones((C,), jnp.float32)
+        bp = jnp.zeros((C,), jnp.float32)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dh = C // num_heads
+    flops = Bp // G * (2 * R * C * 3 * C + num_heads * 4 * R * R * dh
+                       + 2 * R * C * C + 4 * R * C * hid)
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, num_heads=num_heads, eps=eps,
+                          post_norm=post, post_eps=post_eps),
+        grid=(Bp // G,),
+        in_specs=[rows] + [full] * 15,
+        out_specs=rows,
+        out_shape=jax.ShapeDtypeStruct((Bp * N, C), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * Bp * N * C * x2.dtype.itemsize,
+            transcendentals=Bp // G * (num_heads * R * R + R * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, v(g1), v(b1), wqkv, bqkv, wproj, bproj, v(g2), v(b2),
+      w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2), v(gp), v(bp),
+      _clip_mask(G, N))
+    out = out.reshape(Bp, N, C)
+    return out[:B] if pad else out
+
+
+def _fused_block_fwd(x, params, num_heads, eps, post_eps):
+    return _fused_block_impl(x, params, num_heads, eps, post_eps), (x, params)
+
+
+def _fused_block_bwd(num_heads, eps, post_eps, res, g):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x, p: block_reference(x, p, num_heads, eps, post_eps),
+        x, params)
+    return vjp(g)
+
+
+fused_transformer_block.defvjp(_fused_block_fwd, _fused_block_bwd)

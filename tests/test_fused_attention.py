@@ -81,3 +81,69 @@ def test_fused_bf16():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
     scale = np.abs(np.asarray(ref)).max()
     assert err.max() / scale < 0.05, err.max() / scale
+
+
+def test_fused_block_matches_modular():
+    """Block(fused=True) == Block(fused=False) with shared params,
+    including the shared post-norm folded into the kernel."""
+    from pmce_tpu.models.layers import Block
+
+    rng = np.random.default_rng(4)
+    B, N, C, H = 10, 19, 128, 8
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    plain = Block(C, H, mlp_ratio=2.0, fused=False)
+    fused = Block(C, H, mlp_ratio=2.0, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    p2 = fused.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(params) == jax.tree.structure(p2))
+
+    y0 = plain.apply(params, x)
+    y1 = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+
+    post = (jnp.asarray(rng.normal(size=(C,)), jnp.float32),
+            jnp.asarray(rng.normal(size=(C,)), jnp.float32))
+    y0 = plain.apply(params, x, post_norm=post)
+    y1 = fused.apply(params, x, post_norm=post)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_gradients():
+    from pmce_tpu.models.layers import Block
+
+    rng = np.random.default_rng(5)
+    B, N, C, H = 4, 16, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    plain = Block(C, H, mlp_ratio=2.0, fused=False)
+    fused = Block(C, H, mlp_ratio=2.0, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+
+    g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_lifter_matches_modular():
+    """Full PoseLifter parity: fused kernels vs modular XLA path."""
+    from pmce_tpu.models.pose_lifter import PoseLifter
+
+    rng = np.random.default_rng(6)
+    B, T, J = 3, 16, 19
+    pose2d = jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(B, T, 512)), jnp.float32)
+    kw = dict(num_joints=J, num_frames=T, embed_dim=64, depth=2,
+              img_feat_dim=512)
+    plain = PoseLifter(**kw, fused_attn=False)
+    fused = PoseLifter(**kw, fused_attn=True)
+    params = plain.init(jax.random.PRNGKey(0), pose2d, feat)
+    p2 = fused.init(jax.random.PRNGKey(0), pose2d, feat)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    y0 = plain.apply(params, pose2d, feat)
+    y1 = fused.apply(params, pose2d, feat)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=5e-5, atol=5e-5)
