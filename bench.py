@@ -5,20 +5,24 @@ Prints ONE JSON line:
 
 Measured quantity: end-to-end PMCE inference (Stage-1 spatio-temporal
 lifting + Stage-2 co-evolution decoding to the full 6890-vertex mesh, 103 M
-params) in recovered mid-frames per second on one chip.
+params) in recovered mid-frames per second on one chip, in the serving
+configuration: bf16 compute policy (params stay f32) + the fused Pallas
+transformer-block kernels on the lifter attention path.
 
-Protocol: batch 256 clips, 8 DISTINCT random input sets cycled over 32
-pipelined dispatches, one final block (keeps the device queue full — the
-serving pattern); params passed as jit arguments (weight-free HLO); fp32
-params with default matmul precision on the big dense layers and pinned
-f32 on the geometry-critical attention paths.
+Timing protocol — honest device execution, not dispatch: on this platform
+``jax.block_until_ready`` returns before the device executes (round 1
+reported an impossible 3.4 PFLOP/s because of it). Every dispatched forward
+therefore contributes a device-side scalar (sum over all three outputs) to
+a lazily-chained accumulator, and ``float(acc)`` inside the timed region
+forces every forward to have actually executed before the clock stops.
+Sanity bound: the implied FLOP/s (XLA's own cost_analysis × rate) is
+printed in the unit string and must stay below the chip's peak.
 
 Baseline for ``vs_baseline``: the reference publishes no numbers
 (BASELINE.md); 3500 mid-frames/s is our estimate of the reference's
-torch/cu113 PMCE forward throughput on its RTX 3090 (batch 64, ~15-20 ms
-per forward, as a generous reading). The demo-pipeline north star (≥5× the
-~sub-FPS reference demo) is covered separately by
-``main/run_demo.py --synthetic`` which reports end-to-end frames/s.
+torch/cu113 PMCE forward throughput on its RTX 3090 — and, measured
+honestly, is also what THIS model does at f32 with pinned-precision
+attention (3452/s), so the ratio reads as the genuine serving speedup.
 """
 
 from __future__ import annotations
@@ -44,39 +48,51 @@ def main() -> None:
 
     art = ensure_cached_artifacts()
     coarse = ensure_cached_coarsening()
-    model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse)
+    model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse,
+                                 dtype=jnp.bfloat16, fused_attn=True)
 
     rng = np.random.default_rng(0)
     B, T, J = 256, 16, 19
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, T, J, 2)),
         jnp.zeros((1, T, 2048)))
-    fwd = jax.jit(model.apply)
+
+    @jax.jit
+    def fwd_probe(params, pose2d, img_feat):
+        mesh, evo, pose3d = model.apply(params, pose2d, img_feat)
+        return (jnp.sum(mesh.astype(jnp.float32))
+                + jnp.sum(evo.astype(jnp.float32))
+                + jnp.sum(pose3d.astype(jnp.float32)))
 
     inputs = [
         (jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32),
          jnp.asarray(rng.normal(size=(B, T, 2048)), jnp.float32))
         for _ in range(8)
     ]
-    out = fwd(params, *inputs[0])
-    jax.block_until_ready(out)
+    # Warm-up compile + XLA cost analysis for the FLOP/s sanity bound.
+    cost = fwd_probe.lower(params, *inputs[0]).compile().cost_analysis()
+    tf_per_call = (cost.get("flops", 0.0) if cost else 0.0) / 1e12
+    float(fwd_probe(params, *inputs[0]))
 
-    # Median of several trials: the dev tunnel adds run-to-run dispatch
-    # jitter, the device-side time does not vary.
     iters = 32
     rates = []
     for _ in range(5):
+        acc = fwd_probe(params, *inputs[0]) * 0.0
         t0 = time.time()
-        outs = [fwd(params, *inputs[i % 8]) for i in range(iters)]
-        jax.block_until_ready(outs)
+        for i in range(iters):
+            acc = acc + fwd_probe(params, *inputs[i % 8])
+        _ = float(acc)          # host readback forces all iters to execute
         rates.append(B * iters / (time.time() - t0))
     fps = float(np.median(rates))
+    tflops = tf_per_call * fps / B
 
     print(json.dumps({
         "metric": "pmce_mesh_recovery_throughput",
         "value": round(fps, 1),
-        "unit": "mid-frames/s/chip (batch 256 pipelined, fp32 params, "
-                "6890-vert mesh)",
+        "unit": ("mid-frames/s/chip (batch 256, bf16+fused-pallas serving "
+                 "path, 6890-vert mesh; forced-execution timing, implied "
+                 f"{tflops:.1f} TFLOP/s from XLA cost "
+                 f"{tf_per_call:.3f} TF/call)"),
         "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
     }))
 
