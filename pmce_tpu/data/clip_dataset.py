@@ -89,13 +89,21 @@ class ClipDataset:
             "reg_pose3d": reg[mid],
         }
         B = len(idxs)
-        valid = d.has_smpl[mid].astype(np.float32)
+        mesh_v = (d.mesh_valid if d.mesh_valid is not None
+                  else d.has_smpl.astype(np.float32))
+        lift_v = (d.lift_valid if d.lift_valid is not None
+                  else np.ones(len(d), np.float32))
+        reg_v = (d.reg_valid if d.reg_valid is not None
+                 else np.ones(len(d), np.float32))
         batch["mesh_valid"] = np.broadcast_to(
-            valid[:, None, None], (B, self.num_verts, 1)).copy()
-        batch["lift_pose3d_valid"] = np.ones(
-            (B, self.num_joints, 1), np.float32)
-        batch["reg_pose3d_valid"] = np.ones(
-            (B, reg.shape[1], 1), np.float32)
+            mesh_v[mid].astype(np.float32)[:, None, None],
+            (B, self.num_verts, 1)).copy()
+        batch["lift_pose3d_valid"] = np.broadcast_to(
+            lift_v[mid].astype(np.float32)[:, None, None],
+            (B, self.num_joints, 1)).copy()
+        batch["reg_pose3d_valid"] = np.broadcast_to(
+            reg_v[mid].astype(np.float32)[:, None, None],
+            (B, reg.shape[1], 1)).copy()
         return batch
 
 
@@ -120,13 +128,8 @@ class MultiDataset:
         return self.max_len * len(self.datasets)
 
     def sample_batch(self, batch_size: int) -> dict:
-        parts = []
-        for _ in range(batch_size):
-            db = self.datasets[self._rng.integers(len(self.datasets))]
-            parts.append(int(self._rng.integers(len(db))))
         # Group by dataset for vectorized gathers.
         # (All datasets share the sample structure, so concat works.)
-        out: dict | None = None
         db_choice = self._rng.integers(len(self.datasets), size=batch_size)
         chunks = []
         for di, db in enumerate(self.datasets):

@@ -54,3 +54,15 @@ class MSCOCO(StaticImageDataset):
                    joint_regressor_smpl=art.J_regressor,
                    joint_regressor_h36m=jr_h36m,
                    joint_regressor_coco=jr_coco, **kw)
+
+    @classmethod
+    def from_packed(cls, path, split: str = "train", **kw) -> "MSCOCO":
+        """Load a packed npz produced by ``tools/convert_coco.py`` (the
+        SMPLify fitting gate is precomputed into the validity arrays)."""
+        from pmce_tpu.data.packed import load_packed
+
+        data, aux = load_packed(path)
+        return cls(data=data, name="COCO",
+                   joint_regressor_smpl=aux.get("jr_smpl"),
+                   joint_regressor_h36m=aux.get("jr_h36m"),
+                   joint_regressor_coco=aux.get("jr_coco"), **kw)

@@ -53,6 +53,20 @@ def fitting_error_mask(joint_cam_h36m: np.ndarray, mesh_cam: np.ndarray,
     return err <= thr_mm
 
 
+def apply_fitting_gate(data, jr_h36m: np.ndarray,
+                       input_joint_set: str) -> None:
+    """Zero loss validities on bad NeuralAnnot fits, keeping the windows.
+
+    Parity: bad fits zero ``mesh_valid`` (and ``lift_pose3d_valid`` for the
+    COCO input set) but the sample still trains with its remaining terms
+    (/root/reference/data/Human36M/dataset.py:509-514).
+    """
+    good = fitting_error_mask(data.joint_cam_h36m, data.mesh_cam, jr_h36m)
+    data.mesh_valid = (data.has_smpl & good).astype(np.float32)
+    if input_joint_set == "coco":
+        data.lift_valid = data.mesh_valid.copy()
+
+
 @dataclasses.dataclass
 class Human36M(VideoMeshDataset):
     name: str = "Human36M"
@@ -92,12 +106,21 @@ class Human36M(VideoMeshDataset):
             art, jr_in, jr_h36m, num_videos=num_videos,
             frames_per_video=frames_per_video,
             seed=seed + (0 if split == "train" else 100))
-        # Apply the fitting gate exactly like the runtime would on real
-        # NeuralAnnot fits.
-        good = fitting_error_mask(data.joint_cam_h36m, data.mesh_cam,
-                                  jr_h36m)
-        data.has_smpl[:] = data.has_smpl & good
+        apply_fitting_gate(data, jr_h36m, input_joint_set)
         return cls(data=data, name="Human36M",
                    joint_regressor_smpl=art.J_regressor,
                    joint_regressor_h36m=jr_h36m,
                    joint_regressor_coco=jr_coco, **kw)
+
+    @classmethod
+    def from_packed(cls, path, split: str = "train",
+                    input_joint_set: str = "human36", **kw) -> "Human36M":
+        """Load a packed npz produced by ``tools/convert_h36m.py``."""
+        from pmce_tpu.data.packed import load_packed
+
+        data, aux = load_packed(path)
+        apply_fitting_gate(data, aux["jr_h36m"], input_joint_set)
+        return cls(data=data, name="Human36M",
+                   joint_regressor_smpl=aux.get("jr_smpl"),
+                   joint_regressor_h36m=aux["jr_h36m"],
+                   joint_regressor_coco=aux.get("jr_coco"), **kw)

@@ -42,6 +42,18 @@ def reprojection_fit_mask(pred_pose2d: np.ndarray, gt_pose2d: np.ndarray,
     return err <= thr_px
 
 
+def apply_reprojection_gate(data) -> None:
+    """Train gate: zero ALL loss validities on bad fits, keep the windows
+    (reference /root/reference/data/MPII3D/dataset.py:440-443)."""
+    bbox = (data.joint_img.max(1) - data.joint_img.min(1)).max(-1)
+    good = reprojection_fit_mask(
+        data.pose2d_det[:, :17], data.joint_img[:, :17], bbox)
+    v = (data.has_smpl & good).astype(np.float32)
+    data.mesh_valid = v
+    data.lift_valid = v.copy()
+    data.reg_valid = v.copy()
+
+
 @dataclasses.dataclass
 class MPII3D(VideoMeshDataset):
     name: str = "MPII3D"
@@ -83,12 +95,22 @@ class MPII3D(VideoMeshDataset):
             frames_per_video=frames_per_video,
             seed=seed + (0 if split == "train" else 60))
         if not is_val:
-            # Train gate: reprojection error of the noisy detections.
-            bbox = (data.joint_img.max(1) - data.joint_img.min(1)).max(-1)
-            good = reprojection_fit_mask(
-                data.pose2d_det, data.joint_img, bbox)
-            data.has_smpl[:] = data.has_smpl & good
+            apply_reprojection_gate(data)
         return cls(data=data, name="MPII3D", is_val=is_val,
                    joint_regressor_smpl=art.J_regressor,
                    joint_regressor_h36m=jr_h36m,
                    joint_regressor_coco=jr_coco, **kw)
+
+    @classmethod
+    def from_packed(cls, path, split: str = "train", **kw) -> "MPII3D":
+        """Load a packed npz produced by ``tools/convert_mpii3d.py``."""
+        from pmce_tpu.data.packed import load_packed
+
+        data, aux = load_packed(path)
+        is_val = split != "train"
+        if not is_val:
+            apply_reprojection_gate(data)
+        return cls(data=data, name="MPII3D", is_val=is_val,
+                   joint_regressor_smpl=aux.get("jr_smpl"),
+                   joint_regressor_h36m=aux.get("jr_h36m"),
+                   joint_regressor_coco=aux.get("jr_coco"), **kw)

@@ -43,3 +43,14 @@ class PW3D(VideoMeshDataset):
                    joint_regressor_smpl=art.J_regressor,
                    joint_regressor_h36m=jr_h36m,
                    joint_regressor_coco=jr_coco, **kw)
+
+    @classmethod
+    def from_packed(cls, path, split: str = "test", **kw) -> "PW3D":
+        """Load a packed npz produced by ``tools/convert_pw3d.py``."""
+        from pmce_tpu.data.packed import load_packed
+
+        data, aux = load_packed(path)
+        return cls(data=data, name="PW3D",
+                   joint_regressor_smpl=aux.get("jr_smpl"),
+                   joint_regressor_h36m=aux.get("jr_h36m"),
+                   joint_regressor_coco=aux.get("jr_coco"), **kw)

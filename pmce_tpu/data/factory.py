@@ -3,14 +3,17 @@
 Replaces the reference's ``eval(f'{name}.dataset')(...)`` string-eval
 dispatch (/root/reference/lib/core/base.py:23) with an explicit registry.
 
-Real-data packed npz files are used when present under ``cfg.data_dir``
-(see ``tools/convert_*``); with ``cfg.DATASET.synthetic`` the deterministic
-fixture generators provide structurally identical data, which is how the
-framework trains and evaluates end-to-end without the license-gated
-sources.
+Resolution order per dataset:
+1. a packed real-data npz ``{cfg.data_dir}/{Name}_{split}_packed.npz``
+   (produced by the offline ETL, ``tools/convert_*``) when it exists;
+2. otherwise the deterministic synthetic fixture generators, which provide
+   structurally identical data — how the framework trains and evaluates
+   end-to-end without the license-gated sources.
 """
 
 from __future__ import annotations
+
+import os.path as osp
 
 import numpy as np
 
@@ -27,9 +30,15 @@ _REGISTRY = {
 }
 
 
+def packed_path(cfg: Config, name: str, split: str) -> str:
+    """Canonical location of a converted split (tools/convert_* output)."""
+    return osp.join(cfg.data_dir, f"{name}_{split}_packed.npz")
+
+
 def build_dataset(name: str, cfg: Config, art: SMPLArtifacts,
                   split: str):
-    """Build one dataset by registry name."""
+    """Build one dataset by registry name (packed npz if present,
+    synthetic fixtures otherwise)."""
     try:
         cls = _REGISTRY[name]
     except KeyError:
@@ -37,11 +46,20 @@ def build_dataset(name: str, cfg: Config, art: SMPLArtifacts,
             f"unknown dataset {name!r}; known: {sorted(_REGISTRY)}"
         ) from None
 
-    frames = max(2 * cfg.DATASET.seqlen,
-                 cfg.DATASET.synthetic_samples // 2)
     kw = dict(seqlen=cfg.DATASET.seqlen,
               stride=cfg.DATASET.stride if split == "train" else 1,
               use_gt_input=cfg.DATASET.use_gt_input)
+
+    path = packed_path(cfg, name, split)
+    if osp.isfile(path) and not cfg.DATASET.synthetic:
+        if cls is Human36M:
+            return cls.from_packed(
+                path, split=split,
+                input_joint_set=cfg.DATASET.input_joint_set, **kw)
+        return cls.from_packed(path, split=split, **kw)
+
+    frames = max(2 * cfg.DATASET.seqlen,
+                 cfg.DATASET.synthetic_samples // 2)
     if cls in (MSCOCO, MPII):
         return cls.from_synthetic(art, num_images=frames, **kw)
     if cls is Human36M:

@@ -51,6 +51,14 @@ class SyntheticSequenceData:
     mesh_cam: np.ndarray         # [N, V, 3] GT mesh (mm, root-relative)
     img_hw: np.ndarray           # [N, 2] (h, w)
     cam_idx: np.ndarray          # [N] int (h36m camera id)
+    # Optional per-frame loss validities (float 0/1). The reference zeroes
+    # these on bad fits while KEEPING the window in training
+    # (/root/reference/data/Human36M/dataset.py:509-514) — distinct from
+    # ``has_smpl``, which drops windows from the chunker entirely.
+    # None ⇒ derived from has_smpl (mesh) / all-ones (lift/reg).
+    mesh_valid: np.ndarray | None = None   # [N]
+    lift_valid: np.ndarray | None = None   # [N]
+    reg_valid: np.ndarray | None = None    # [N]
 
     def __len__(self):
         return len(self.img_names)

@@ -84,9 +84,29 @@ def test_noise_stats(rng):
     gen = np.random.default_rng(0)
     noisy = dist.perturb(gt, gen)
     err = np.abs(noisy - gt)
-    # Wrists (13, 16) are noisier than the pelvis (0).
-    assert err[:, 13].mean() > err[:, 0].mean()
+    # Wrists (13, 16) jitter more along x than the pelvis (0) and miss
+    # more often (lower clean-mode weight) — the measured CPN profile.
+    assert err[:, 13, 0].mean() > err[:, 0, 0].mean()
+    assert dist.weight[13] < dist.weight[0]
     assert err.mean() < 25.0
+
+
+def test_noise_stats_measured_table():
+    """The table must carry the reference's MEASURED CPN constants
+    (/root/reference/data/Human36M/noise_stats.py:5-123) mapped into H36M
+    joint order — including the Head/Nose order swap vs the source list."""
+    dist = ErrorDistribution()
+    # H36M order: ... 8=Neck, 9=Nose, 10=Head ...
+    np.testing.assert_allclose(dist.mean[0], (-0.06, -2.37))   # Pelvis
+    np.testing.assert_allclose(dist.std[0], (1.33, 2.13))
+    assert dist.weight[0] == 1.00
+    np.testing.assert_allclose(dist.mean[9], (0.13, -0.26))    # Nose
+    np.testing.assert_allclose(dist.std[9], (0.78, 0.59))
+    np.testing.assert_allclose(dist.weight[9], 0.98)
+    np.testing.assert_allclose(dist.mean[10], (0.09, 0.49))    # Head
+    np.testing.assert_allclose(dist.std[10], (1.35, 0.87))
+    np.testing.assert_allclose(dist.mean[16], (0.05, 0.16))    # R_Wrist
+    np.testing.assert_allclose(dist.weight[16], 0.90)
 
 
 def test_noise_stats_roundtrip(tmp_path):

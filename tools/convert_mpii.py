@@ -1,0 +1,40 @@
+"""CLI: convert reference-format MPII sources to a packed npz.
+
+Source layout parity: /root/reference/data/MPII/dataset.py:102-160
+(see pmce_tpu/data/etl/mpii.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from pmce_tpu.data.etl import convert_mpii
+from pmce_tpu.data.packed import save_packed
+from pmce_tpu.smpl.artifacts import SMPLArtifacts, load_or_synthetic
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--annot-dir", required=True)
+    ap.add_argument("--smpl-npz", default=None)
+    ap.add_argument("--jr-h36m", required=True)
+    ap.add_argument("--jr-coco", required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    art = (SMPLArtifacts.load(args.smpl_npz) if args.smpl_npz
+           else load_or_synthetic("neutral"))
+    jr_h36m = np.load(args.jr_h36m)
+    jr_coco = np.load(args.jr_coco)
+    data = convert_mpii(args.annot_dir, art, jr_h36m, jr_coco,
+                        seed=args.seed)
+    save_packed(data, args.out, jr_smpl=art.J_regressor,
+                jr_h36m=jr_h36m, jr_coco=jr_coco)
+    print(f"wrote {args.out}: {len(data)} frames")
+
+
+if __name__ == "__main__":
+    main()
