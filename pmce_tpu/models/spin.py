@@ -55,24 +55,28 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Bottleneck ResNet-50 trunk → 2048-d GAP feature."""
+    """Bottleneck ResNet-50 trunk → 2048-d GAP feature.
+
+    ``width`` scales all stages (64 = the real ResNet-50; tests shrink it).
+    """
 
     layers: tuple = (3, 4, 6, 3)
+    width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [N, 3, 224, 224] (channel-first like the reference input) or
-        [N, 224, 224, 3]; returns [N, 2048]."""
+        [N, 224, 224, 3]; returns [N, width*32] (2048 at full width)."""
         if x.shape[1] == 3:
             x = jnp.transpose(x, (0, 2, 3, 1))           # → NHWC
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+        x = nn.Conv(self.width, (7, 7), strides=2, padding=3,
+                    use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        planes = (64, 128, 256, 512)
+        planes = tuple(self.width * m for m in (1, 2, 4, 8))
         for stage, (p, n_blocks) in enumerate(zip(planes, self.layers)):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
@@ -85,6 +89,7 @@ class SMPLRegressor(nn.Module):
     """Iterative (3-step) SMPL parameter regressor on a 2048-d feature."""
 
     n_iter: int = 3
+    hidden: int = 1024
 
     @nn.compact
     def __call__(self, feat, init_pose=None, init_shape=None,
@@ -97,8 +102,8 @@ class SMPLRegressor(nn.Module):
         cam = (init_cam if init_cam is not None
                else jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (B, 1)))
 
-        fc1 = nn.Dense(1024, name="fc1")
-        fc2 = nn.Dense(1024, name="fc2")
+        fc1 = nn.Dense(self.hidden, name="fc1")
+        fc2 = nn.Dense(self.hidden, name="fc2")
         decpose = nn.Dense(24 * 6, name="decpose",
                            kernel_init=nn.initializers.xavier_uniform())
         decshape = nn.Dense(10, name="decshape",
@@ -124,10 +129,16 @@ class SMPLRegressor(nn.Module):
 class HMR(nn.Module):
     """Full HMR: ResNet-50 trunk + iterative regressor."""
 
+    layers: tuple = (3, 4, 6, 3)
+    width: int = 64
+    hidden: int = 1024
+
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
-        feat = ResNet50(name="backbone")(x, train)
-        out = SMPLRegressor(name="regressor")(feat, train=train)
+        feat = ResNet50(layers=self.layers, width=self.width,
+                        name="backbone")(x, train)
+        out = SMPLRegressor(hidden=self.hidden,
+                            name="regressor")(feat, train=train)
         if return_features:
             return feat, out
         return out

@@ -79,8 +79,14 @@ class ViTPose(nn.Module):
         # Classic heatmap head: 2 × (deconv ×2, BN, ReLU) + 1×1 conv.
         x = x.reshape(x.shape[0], gh, gw, c.embed_dim)
         for i in range(2):
+            # torch ConvTranspose2d(k=4, s=2, p=1) semantics: grad-of-conv
+            # (transpose_kernel=True; SAME ≡ the (1,1) torch padding for
+            # k=4/s=2). HIGHEST precision: the default conv precision costs
+            # ~1e-3 absolute error, visible in heatmap argmax ties.
             x = nn.ConvTranspose(c.deconv_channels, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
+                                 transpose_kernel=True,
+                                 precision=jax.lax.Precision.HIGHEST,
                                  name=f"deconv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              name=f"deconv_bn{i}")(x)
