@@ -117,13 +117,18 @@ def make_pmce_eval_step(model, J_reg_target: jax.Array,
         gj = gt_joint - gt_joint[:, :1]
         pj = pj[:, eval_idx]
         gj = gj[:, eval_idx]
-        mesh_err = jnp.mean(
-            jnp.sqrt(jnp.sum((pm - gm) ** 2, axis=-1)))
-        joint_err = jnp.mean(
-            jnp.sqrt(jnp.sum((pj - gj) ** 2, axis=-1)))
+        # Weighted per-sample means → device-side running sums: the caller
+        # accumulates lazily and syncs ONCE per epoch; wrap-padded samples
+        # (weight 0) contribute nothing.
+        w = batch.get("_weight", jnp.ones(pred_mesh.shape[0]))
+        mesh_per = jnp.mean(jnp.sqrt(jnp.sum((pm - gm) ** 2, -1)), -1)
+        joint_per = jnp.mean(jnp.sqrt(jnp.sum((pj - gj) ** 2, -1)), -1)
         return {
             "pred_mesh": pred_mesh, "pred_joint": pred_joint,
-            "pose3d": pose3d, "mesh_err": mesh_err, "joint_err": joint_err,
+            "pose3d": pose3d,
+            "mesh_err_sum": jnp.sum(mesh_per * w),
+            "joint_err_sum": jnp.sum(joint_per * w),
+            "n": jnp.sum(w),
         }
 
     return jax.jit(eval_fn)
@@ -175,8 +180,11 @@ def make_lift_eval_step(model, root_idx: int = 0,
             eval_idx = jnp.asarray(eval_joints)
             p = p[:, eval_idx]
             g = g[:, eval_idx]
-        err = jnp.mean(jnp.sqrt(jnp.sum((p - g) ** 2, axis=-1)))
-        return {"pred_joint": pred, "joint_err": err}
+        w = batch.get("_weight", jnp.ones(pred.shape[0]))
+        per = jnp.mean(jnp.sqrt(jnp.sum((p - g) ** 2, -1)), -1)
+        return {"pred_joint": pred,
+                "joint_err_sum": jnp.sum(per * w),
+                "n": jnp.sum(w)}
 
     return jax.jit(eval_fn)
 
@@ -282,26 +290,37 @@ class Trainer:
 
     # ---------------------------------------------------------------- eval
     def evaluate(self, state: TrainState, collect: bool = False):
+        """Pipelined evaluation: per-batch weighted error SUMS accumulate
+        device-side (lazy adds keep the dispatch queue full) and the host
+        syncs ONCE at the end; wrap-padded samples of the ragged final
+        batch carry zero weight, so the streamed metrics are exact.
+        (The reference syncs per batch and, in round 1, so did we —
+        plus the pad samples were counted: both fixed here.)"""
         tcfg = self.cfg.TEST
         from pmce_tpu.data.clip_dataset import epoch_iterator
 
         sharding = (mesh_lib.batch_sharding(self.mesh)
                     if self.mesh is not None else None)
-        surface_err, joint_err, n = 0.0, 0.0, 0
+        js = ss = cnt = None
         results = []
-        for batch in epoch_iterator(self.test_data, tcfg.batch_size,
-                                    shuffle=False, seed=0,
-                                    drop_last=False):
-            batch_dev = (jax.device_put(batch, sharding)
-                         if sharding is not None else jax.device_put(batch))
+        iterator = epoch_iterator(self.test_data, tcfg.batch_size,
+                                  shuffle=False, seed=0, drop_last=False)
+        for batch_dev in prefetch_to_device(iterator, sharding=sharding):
             out = self.eval_step(state.params, batch_dev)
-            joint_err += float(out["joint_err"])
-            if self.is_mesh_model:
-                surface_err += float(out["mesh_err"])
-            n += 1
+            if js is None:
+                js, cnt = out["joint_err_sum"], out["n"]
+                ss = out.get("mesh_err_sum")
+            else:
+                js = js + out["joint_err_sum"]
+                cnt = cnt + out["n"]
+                if self.is_mesh_model:
+                    ss = ss + out["mesh_err_sum"]
             if collect:
+                # Collection pulls full prediction arrays (syncs per batch
+                # by necessity); the fast path above stays device-side.
                 pred_mesh = np.asarray(out.get("pred_mesh", 0))
                 pred_joint = np.asarray(out["pred_joint"])
+                batch = jax.device_get(batch_dev)
                 for j in range(len(batch["pose2d"])):
                     rec = {"joint_coord": pred_joint[j]}
                     if self.is_mesh_model:
@@ -311,8 +330,10 @@ class Trainer:
                     else:
                         rec["joint_coord_target"] = batch["lift_pose3d"][j]
                     results.append(rec)
-        joint_err /= max(n, 1)
-        surface_err /= max(n, 1)
+        denom = max(float(cnt) if cnt is not None else 0.0, 1.0)  # one sync
+        joint_err = float(js) / denom if js is not None else 0.0
+        surface_err = (float(ss) / denom
+                       if (self.is_mesh_model and ss is not None) else 0.0)
         self.error_history["joint"].append(joint_err)
         self.error_history["surface"].append(surface_err)
         if self.metric_logger is not None:

@@ -146,7 +146,12 @@ class MultiDataset:
 
 def epoch_iterator(dataset: ClipDataset, batch_size: int, shuffle: bool,
                    seed: int, drop_last: bool = True):
-    """Yield batches covering the dataset once (static batch shapes)."""
+    """Yield batches covering the dataset once (static batch shapes).
+
+    Every batch carries a ``_weight`` [B] float mask: 1 for real samples,
+    0 for the wrap-padded tail of a ragged final batch — consumers MUST
+    weight per-sample statistics by it (an unweighted mean would count the
+    duplicated pad samples, biasing streamed metrics)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -154,7 +159,12 @@ def epoch_iterator(dataset: ClipDataset, batch_size: int, shuffle: bool,
         -len(order) // batch_size)
     for b in range(n_batches):
         idxs = order[b * batch_size : (b + 1) * batch_size]
+        weight = np.ones(batch_size, np.float32)
         if len(idxs) < batch_size:
-            # Pad the final batch by wrapping (static shapes for XLA).
+            # Pad the final batch by wrapping (static shapes for XLA);
+            # padded rows get zero weight.
+            weight[len(idxs):] = 0.0
             idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
-        yield dataset.get_batch(idxs)
+        batch = dataset.get_batch(idxs)
+        batch["_weight"] = weight
+        yield batch

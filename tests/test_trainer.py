@@ -136,6 +136,23 @@ def test_data_parallel_training_on_mesh(setup):
     np.testing.assert_allclose(evals["mesh"], evals["single"], rtol=2e-4)
 
 
+def test_eval_metrics_invariant_to_batch_size(trained):
+    """Streamed eval must equal the exact dataset-level metric for ANY
+    batch size: the ragged final batch is wrap-padded for static shapes
+    but pad samples carry zero weight (round 1 counted them, biasing the
+    running mean; and it synced per batch — now one sync per epoch)."""
+    trainer, state, _ = trained
+    n = len(trainer.test_data)
+    results = {}
+    for bs in (n, 8, 7):         # exact-multiple and two ragged sizes
+        trainer.cfg.TEST.batch_size = bs
+        je, se, _ = trainer.evaluate(state)
+        results[bs] = (je, se)
+    trainer.cfg.TEST.batch_size = 8
+    for bs in (8, 7):
+        np.testing.assert_allclose(results[bs], results[n], rtol=1e-5)
+
+
 def test_config_strict_overlay(tmp_path):
     p = tmp_path / "c.yml"
     p.write_text("TRAIN:\n  lr: 0.01\n  batch_size: 4\n")
