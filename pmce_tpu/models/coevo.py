@@ -34,6 +34,7 @@ from pmce_tpu.models.layers import (
     AdaBlock,
     BiGRU,
     CrossAttentionBlock,
+    DenseParams,
 )
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -105,15 +106,18 @@ class CoevoBlock(nn.Module):
             drop_path=self.drop_path, dtype=self.dtype, name="vertx_SA_FFN",
         )(vertx_new, cond, deterministic)
 
+        # Coordinate heads ALWAYS f32: outputs are meter-scale positions
+        # where bf16 quantizes at ~0.4% of magnitude (millimeters); the
+        # dim→3 projections are negligible FLOPs.
         joint_out = (
-            nn.Dense(3, dtype=self.dtype,
+            nn.Dense(3, dtype=jnp.float32,
                      name="proj_joint_feat2coor")(joint_new)
-            + joint[..., :3]
+            + joint[..., :3].astype(jnp.float32)
         )
         vertx_out = (
-            nn.Dense(3, dtype=self.dtype,
+            nn.Dense(3, dtype=jnp.float32,
                      name="proj_vertx_feat2coor")(vertx_new)
-            + vertx[..., :3]
+            + vertx[..., :3].astype(jnp.float32)
         )
         return joint_out, vertx_out
 
@@ -172,20 +176,25 @@ class CoevolutionDecoder(nn.Module):
 
         # Conv1d(431→6890, k=3, pad 1) over the coordinate axis: treat the
         # 431 vertices as channels and x/y/z as the length-3 spatial dim.
+        # f32: it maps meter-scale coordinates to meter-scale coordinates.
         mesh = nn.Conv(
             features=self.num_verts_full, kernel_size=(3,), padding=1,
-            dtype=self.dtype, name="upsample_conv",
+            dtype=jnp.float32, name="upsample_conv",
         )(vertx.transpose(0, 2, 1)).transpose(0, 2, 1)  # [B, 6890, 3]
 
-        # Per-axis residuals from the ReLU'd GRU mid feature.
+        # Per-axis residuals from the ReLU'd GRU mid feature. The matmuls
+        # run in the compute dtype (they are the decoder's biggest dense
+        # layers) but accumulate and emit f32 — the outputs are meter-scale
+        # coordinates, where a bf16 output cast costs millimeters.
         feat = jax.nn.relu(cond)
-        res = jnp.stack(
-            [
-                nn.Dense(self.num_verts_full, dtype=self.dtype,
-                         name=f"linear_cur{i + 1}")(feat)
-                for i in range(3)
-            ],
-            axis=-1,
-        )                                             # [B, 6890, 3]
+        dt = self.dtype or feat.dtype
+        res_axes = []
+        for i in range(3):
+            w, b = DenseParams(feat.shape[-1], self.num_verts_full,
+                               name=f"linear_cur{i + 1}")()
+            res_axes.append(
+                jnp.dot(feat.astype(dt), w.astype(dt),
+                        preferred_element_type=jnp.float32) + b)
+        res = jnp.stack(res_axes, axis=-1)            # [B, 6890, 3]
         out = (mesh + res).astype(jnp.float32)
         return evo_pose.astype(jnp.float32), out

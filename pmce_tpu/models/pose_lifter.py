@@ -89,9 +89,12 @@ class PoseLifter(nn.Module):
                                        name="norm_t")
 
         # Regression head: torch's default LayerNorm eps (1e-5) here.
-        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+        # ALWAYS f32: outputs are millimeter-scale coordinates (|v|~1e3),
+        # where bf16's 8-bit mantissa quantizes at ~4 mm — the head is a
+        # C→3 projection, so full precision costs nothing.
+        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                       name="head_norm")
-        self.head_proj = nn.Dense(3, dtype=self.dtype, name="head_proj")
+        self.head_proj = nn.Dense(3, dtype=jnp.float32, name="head_proj")
         # Frame fusion — Conv2d(T→1, k=1) ≡ a [T] weight vector + bias.
         bound = 1.0 / float(np.sqrt(self.num_frames))
         self.fusion_weight = self.param(
@@ -151,11 +154,7 @@ class PoseLifter(nn.Module):
             x = apply_t(x)
 
         x = x.reshape(B, J, T, C).transpose(0, 2, 1, 3)    # [B,T,J,C]
-        x = self.head_proj(self.head_norm(x))              # [B,T,J,3]
-        out = jnp.einsum(
-            "t,btjc->bjc",
-            self.fusion_weight.astype(x.dtype)
-            if self.dtype is not None else self.fusion_weight,
-            x, precision=(None if self.dtype == jnp.bfloat16
-                          else jax.lax.Precision.HIGHEST))
+        x = self.head_proj(self.head_norm(x.astype(jnp.float32)))
+        out = jnp.einsum("t,btjc->bjc", self.fusion_weight, x,
+                         precision=jax.lax.Precision.HIGHEST)
         return (out + self.fusion_bias[0]).astype(jnp.float32)

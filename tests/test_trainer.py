@@ -153,6 +153,32 @@ def test_eval_metrics_invariant_to_batch_size(trained):
         np.testing.assert_allclose(results[bs], results[n], rtol=1e-5)
 
 
+def test_bf16_fused_serving_policy_metric_delta(trained, setup):
+    """The serving configuration (bf16 compute + fused Pallas attention)
+    must reproduce the f32 model's eval metric on the SAME trained params:
+    documented tolerance 0.1 mm MPJPE delta on the synthetic eval."""
+    import jax.numpy as jnp
+
+    trainer, state, _ = trained
+    art, coarse, jr, _, test_ds = setup
+    model_bf16, _ = create_pmce(num_joint=17, art=art, coarsening=coarse,
+                                joint_regressor_h36m=jr,
+                                embed_dim=32, depth=1,
+                                dtype=jnp.bfloat16, fused_attn=True)
+    serving = Trainer(cfg=_cfg(), model=model_bf16,
+                      train_data=trainer.train_data, test_data=test_ds,
+                      faces=art.faces, J_reg_target=jr,
+                      log_fn=lambda *_: None)
+    je_f32, se_f32, _ = trainer.evaluate(state)
+    je_bf16, se_bf16, _ = serving.evaluate(state)
+    # Documented tolerance: ≤0.1 mm absolute MPJPE delta, and ≤0.1%
+    # relative MPVPE delta (bf16 error is proportional to activation
+    # magnitude; this 2-epoch smoke model's MPVPE is ~3000 mm, where 0.1%
+    # maps to ≤0.1 mm at a converged model's ~85 mm).
+    assert abs(je_bf16 - je_f32) <= 0.1, (je_f32, je_bf16)
+    assert abs(se_bf16 - se_f32) <= 1e-3 * se_f32, (se_f32, se_bf16)
+
+
 def test_config_strict_overlay(tmp_path):
     p = tmp_path / "c.yml"
     p.write_text("TRAIN:\n  lr: 0.01\n  batch_size: 4\n")

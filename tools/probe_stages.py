@@ -10,7 +10,7 @@ import time
 faulthandler.dump_traceback_later(560)
 
 
-def main(dtype_name: str, B: int):
+def main(dtype_name: str, B: int, fused: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -54,6 +54,7 @@ def main(dtype_name: str, B: int):
             _ = sum(float(o) for o in outs)
             rates.append((time.time() - t0) / 16 * 1000.0)
         print(json.dumps({"stage": name, "dtype": dtype_name, "batch": B,
+                          "fused": fused,
                           "ms": round(float(np.median(rates)), 2)}),
               flush=True)
 
@@ -62,7 +63,7 @@ def main(dtype_name: str, B: int):
     pose3d = rng.normal(size=(B, J, 3)).astype(np.float32)
 
     lifter = PoseLifter(num_joints=J, num_frames=T, embed_dim=256, depth=3,
-                        dtype=dtype)
+                        dtype=dtype, fused_attn=fused)
     bench_one("lifter", lifter, (jnp.zeros((1, T, J, 2)), jnp.zeros((1, T, 2048))),
               (pose2d, img_feat))
 
@@ -82,5 +83,6 @@ if __name__ == "__main__":
 
     compile_cache.enable()
     for spec in sys.argv[1:]:
-        dt, b = spec.split(":")
-        main(dt, int(b))
+        parts = spec.split(":")
+        main(parts[0], int(parts[1]),
+             fused=len(parts) > 2 and parts[2] == "fused")
