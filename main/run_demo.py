@@ -84,6 +84,12 @@ def main() -> None:
     p.add_argument("--vitpose", choices=["tiny", "huge", "off"],
                    default="off",
                    help="2D pose stage ('off' uses detection keypoints)")
+    p.add_argument("--vitpose-weights", type=str, default="",
+                   help="imported mmpose ViTPose checkpoint "
+                        "(tools/import_backbones.py vitpose ...)")
+    p.add_argument("--spin-weights", type=str, default="",
+                   help="imported SPIN ResNet-50 checkpoint "
+                        "(tools/import_backbones.py spin ...)")
     args = p.parse_args()
 
     if args.platform:
@@ -119,13 +125,19 @@ def main() -> None:
             p.error("--vid_file or --synthetic required")
         src = video_io.open_video(args.vid_file)
         frames = np.stack(list(src))
-        if not args.detections:
-            p.error("--detections required for real videos (no bundled "
-                    "detector weights)")
-        z = np.load(args.detections, allow_pickle=True)
-        dets = [z[f"boxes_{t}"] for t in range(len(frames))]
-        kps = ([z[f"kps_{t}"] for t in range(len(frames))]
-               if f"kps_0" in z.files else None)
+        if args.detections:
+            z = np.load(args.detections, allow_pickle=True)
+            dets = [z[f"boxes_{t}"] for t in range(len(frames))]
+            kps = ([z[f"kps_{t}"] for t in range(len(frames))]
+                   if f"kps_0" in z.files else None)
+        else:
+            # First-party detector (trained on synthetic SMPL renders,
+            # cached after the first run) — no external weights needed.
+            from pmce_tpu.demo.detector import ensure_cached_detector
+
+            detector = ensure_cached_detector(art)
+            dets = detector.detect_video(frames)
+            kps = None
         rng = np.random.default_rng(1)
         jr17 = rng.random((17, art.num_verts)).astype(np.float32)
         jr17 /= jr17.sum(1, keepdims=True)
@@ -147,10 +159,22 @@ def main() -> None:
     pmce_apply = lambda a, b: _pmce_jit(params, a, b)  # noqa: E731
 
     resnet = ResNet50()
-    rn_vars = jax.jit(resnet.init)(jax.random.PRNGKey(1),
-                                   jnp.zeros((1, 3, 224, 224)))
+    if args.spin_weights:
+        # Real SPIN feature-extractor weights via the importer.
+        rn_all = ckpt_lib.load_checkpoint(args.spin_weights)["variables"]
+        rn_vars = {"params": rn_all["params"]["backbone"],
+                   "batch_stats": rn_all["batch_stats"]["backbone"]}
+    else:
+        rn_vars = jax.jit(resnet.init)(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, 3, 224, 224)))
     _rn_jit = jax.jit(resnet.apply)
     feature_apply = lambda crops: _rn_jit(rn_vars, crops)  # noqa: E731
+
+    if kps is None and args.vitpose == "off":
+        print("note: no detection keypoints available; enabling the "
+              "ViTPose stage (tiny; pass --vitpose huge "
+              "--vitpose-weights ... for real weights)")
+        args.vitpose = "tiny"
 
     pose2d_apply = None
     if args.vitpose != "off":
@@ -159,8 +183,12 @@ def main() -> None:
         cfg_vp = (ViTPoseConfig.huge() if args.vitpose == "huge"
                   else ViTPoseConfig.tiny())
         vp = ViTPose(cfg_vp)
-        vp_vars = jax.jit(vp.init)(jax.random.PRNGKey(2),
-                                   jnp.zeros((1, 3, 256, 192)))
+        if args.vitpose_weights:
+            vp_vars = ckpt_lib.load_checkpoint(
+                args.vitpose_weights)["variables"]
+        else:
+            vp_vars = jax.jit(vp.init)(jax.random.PRNGKey(2),
+                                       jnp.zeros((1, 3, 256, 192)))
         _vp_jit = jax.jit(vp.apply)
         pose2d_apply = lambda c: _vp_jit(vp_vars, c)  # noqa: E731
         kps = None  # force the ViTPose path

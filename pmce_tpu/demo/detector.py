@@ -1,0 +1,289 @@
+"""First-party person detector: anchor-free center-point detection.
+
+Closes the reference's external-dependency gap: the reference demo shells
+out to a CUDA YOLOv3 via the multi-person-tracker package
+(/root/reference/main/run_demo.py:199-215) whose weights are external
+downloads. Here the detector is a small TPU-native anchor-free network
+(CenterNet-style: stride-8 center heatmap + box size + sub-cell offset)
+that is TRAINED ON SYNTHETIC SMPL RENDERS from this framework's own
+rasterizer — fully self-contained, no external weights.
+
+Design notes (TPU):
+- all-conv NHWC; one jitted forward per frame batch; static input size
+  (frames are resized on device by the same separable-matmul resampler the
+  crop stage uses);
+- decode = 3×3 max-pool peak NMS + top-k, all inside jit; host only sees
+  the final [k, 5] boxes per frame;
+- training: penalty-reduced focal loss on the center heatmap + masked L1
+  on size/offset (the standard CenterNet objective), Adam, a few thousand
+  synthetic frames — trains in ~2 minutes on one chip at 128×128.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INPUT_SIZE = 128          # square detector input (resized from the frame)
+STRIDE = 8                # heatmap stride
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=self.stride,
+                    padding=1, use_bias=False)(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features))(x)
+        return nn.relu(x)
+
+
+class PersonDetector(nn.Module):
+    """[N, S, S, 3] (0..1 floats) → center/size/offset maps at stride 8."""
+
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> dict:
+        w = self.width
+        x = ConvBlock(w, stride=2)(x)          # /2
+        x = ConvBlock(w)(x)
+        x = ConvBlock(w * 2, stride=2)(x)      # /4
+        x = ConvBlock(w * 2)(x)
+        x = ConvBlock(w * 4, stride=2)(x)      # /8
+        x = ConvBlock(w * 4)(x)
+        x = ConvBlock(w * 4)(x)
+        heat = nn.Conv(1, (1, 1),
+                       bias_init=nn.initializers.constant(-2.19),
+                       name="head_heat")(x)[..., 0]     # [N, s, s]
+        size = nn.Conv(2, (1, 1), name="head_size")(x)  # [N, s, s, 2] (w,h)
+        off = nn.Conv(2, (1, 1), name="head_off")(x)    # [N, s, s, 2]
+        return {"heat": heat, "size": size, "off": off}
+
+
+# ------------------------------------------------------------------ decode
+def decode_detections(out: dict, top_k: int = 4) -> tuple:
+    """Center maps → boxes, inside jit.
+
+    Returns:
+      boxes [N, top_k, 4] (x, y, w, h) in INPUT_SIZE pixels, scores
+      [N, top_k] (sigmoid heat, 0 where suppressed by peak NMS).
+    """
+    heat = jax.nn.sigmoid(out["heat"])                     # [N, s, s]
+    peak = nn.max_pool(heat[..., None], (3, 3), strides=(1, 1),
+                       padding=((1, 1), (1, 1)))[..., 0]
+    heat = jnp.where(heat == peak, heat, 0.0)
+    N, s, _ = heat.shape
+    flat = heat.reshape(N, s * s)
+    scores, idx = jax.lax.top_k(flat, top_k)               # [N, k]
+    ys = (idx // s).astype(jnp.float32)
+    xs = (idx % s).astype(jnp.float32)
+    gather = lambda m: jnp.take_along_axis(  # noqa: E731
+        m.reshape(N, s * s, 2), idx[..., None], axis=1)
+    wh = gather(out["size"]) * INPUT_SIZE                  # [N, k, 2]
+    off = gather(out["off"])
+    cx = (xs + 0.5 + off[..., 0]) * STRIDE
+    cy = (ys + 0.5 + off[..., 1]) * STRIDE
+    boxes = jnp.stack([cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
+                       wh[..., 0], wh[..., 1]], axis=-1)
+    return boxes, scores
+
+
+# -------------------------------------------------------------------- loss
+def make_targets(boxes: np.ndarray) -> dict:
+    """GT boxes [N, 4] (one person per frame, INPUT_SIZE px) → dense maps."""
+    n = len(boxes)
+    s = INPUT_SIZE // STRIDE
+    heat = np.zeros((n, s, s), np.float32)
+    size = np.zeros((n, s, s, 2), np.float32)
+    off = np.zeros((n, s, s, 2), np.float32)
+    mask = np.zeros((n, s, s), np.float32)
+    for i, (x, y, w, h) in enumerate(boxes):
+        # Continuous center in cell units; the peak CELL is the one whose
+        # center (index + 0.5) is nearest, and the offset is relative to
+        # that cell center — decode inverts exactly: (i + 0.5 + off) * S.
+        cx, cy = (x + w / 2) / STRIDE, (y + h / 2) / STRIDE
+        ix = int(np.clip(np.floor(cx), 0, s - 1))
+        iy = int(np.clip(np.floor(cy), 0, s - 1))
+        # Gaussian splat with radius from the box size (CenterNet recipe),
+        # centered ON the peak cell so argmax == the annotated cell.
+        sigma = max(1.0, min(w, h) / STRIDE / 3.0)
+        yy, xx = np.mgrid[0:s, 0:s]
+        g = np.exp(-((xx - ix) ** 2 + (yy - iy) ** 2) / (2 * sigma ** 2))
+        heat[i] = np.maximum(heat[i], g)
+        size[i, iy, ix] = (w / INPUT_SIZE, h / INPUT_SIZE)
+        off[i, iy, ix] = (cx - 0.5 - ix, cy - 0.5 - iy)
+        mask[i, iy, ix] = 1.0
+    return {"heat": heat, "size": size, "off": off, "mask": mask}
+
+
+def detector_loss(out: dict, tgt: dict) -> jax.Array:
+    """Penalty-reduced focal loss + masked L1 on size/offset."""
+    p = jax.nn.sigmoid(out["heat"])
+    pos = (tgt["heat"] >= 0.999).astype(jnp.float32)
+    neg_w = (1.0 - tgt["heat"]) ** 4
+    eps = 1e-6
+    pos_loss = -jnp.log(p + eps) * (1 - p) ** 2 * pos
+    neg_loss = -jnp.log(1 - p + eps) * p ** 2 * neg_w * (1 - pos)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    focal = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
+
+    m = tgt["mask"][..., None]
+    l1_size = jnp.sum(jnp.abs(out["size"] - tgt["size"]) * m) / n_pos
+    l1_off = jnp.sum(jnp.abs(out["off"] - tgt["off"]) * m) / n_pos
+    return focal + 5.0 * l1_size + 1.0 * l1_off
+
+
+# ---------------------------------------------------------------- training
+def render_training_set(art, n: int, seed: int = 0,
+                        size: int = INPUT_SIZE) -> tuple:
+    """Synthetic SMPL renders + tight GT boxes.
+
+    Random poses/shapes through the SMPL layer, random weak-perspective
+    cameras, random background gray + noise; box = the rendered silhouette's
+    tight bbox — the same construction the synthetic demo uses.
+    """
+    from pmce_tpu.demo.renderer import Renderer
+    from pmce_tpu.smpl.layer import SMPLModel, smpl_forward
+
+    rng = np.random.default_rng(seed)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        model = SMPLModel.from_artifacts(art)
+        pose = rng.normal(scale=0.25, size=(n, 72)).astype(np.float32)
+        pose[:, :3] = rng.normal(scale=0.6, size=(n, 3))
+        shape = rng.normal(scale=0.7, size=(n, 10)).astype(np.float32)
+        verts, _ = smpl_forward(model, jnp.asarray(pose),
+                                jnp.asarray(shape))
+    verts = np.asarray(verts)
+    renderer = Renderer(art.faces, resolution=(size, size), alpha=1.0)
+
+    frames = np.empty((n, size, size, 3), np.float32)
+    boxes = np.empty((n, 4), np.float32)
+    for i in range(n):
+        bg = int(rng.integers(20, 120))
+        frame = np.full((size, size, 3), bg, np.uint8)
+        frame += rng.integers(0, 25, frame.shape).astype(np.uint8)
+        scale = 0.3 + 0.35 * rng.random()
+        cam = np.array([scale, scale, rng.uniform(-0.5, 0.5),
+                        rng.uniform(-0.3, 0.3)], np.float32)
+        before = frame.copy()
+        frame = renderer.render(frame, verts[i], cam)
+        fg = np.any(frame != before, axis=-1)
+        ys, xs = np.nonzero(fg)
+        if len(xs) == 0:       # body out of frame: retry with centered cam
+            cam = np.array([0.45, 0.45, 0.0, 0.0], np.float32)
+            frame = renderer.render(before, verts[i], cam)
+            fg = np.any(frame != before, axis=-1)
+            ys, xs = np.nonzero(fg)
+        boxes[i] = (xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                    ys.max() - ys.min() + 1)
+        frames[i] = frame.astype(np.float32) / 255.0
+    return frames, boxes
+
+
+def train_detector(art, steps: int = 600, batch: int = 32,
+                   n_frames: int = 512, seed: int = 0, lr: float = 1e-3,
+                   width: int = 32, log_fn=None) -> dict:
+    """Train a PersonDetector on synthetic renders; returns params."""
+    import optax
+
+    frames, boxes = render_training_set(art, n_frames, seed=seed)
+    targets = make_targets(boxes)
+    model = PersonDetector(width=width)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed),
+                                 jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3)))
+    tx = optax.adam(lr)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, fr, tg):
+        def loss_fn(p):
+            return detector_loss(model.apply(p, fr), tg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        idx = rng.integers(len(frames), size=batch)
+        fr = jnp.asarray(frames[idx])
+        tg = {k: jnp.asarray(v[idx]) for k, v in targets.items()}
+        params, opt_state, loss = step_fn(params, opt_state, fr, tg)
+        if log_fn is not None and (i + 1) % 100 == 0:
+            log_fn(f"detector step {i + 1}/{steps}: loss {float(loss):.4f}")
+    return params
+
+
+# --------------------------------------------------------------- inference
+@dataclasses.dataclass
+class Detector:
+    """Frame-batch person detection with resize bookkeeping."""
+
+    params: Any
+    width: int = 32
+    score_thresh: float = 0.3
+
+    def __post_init__(self):
+        model = PersonDetector(width=self.width)
+
+        @jax.jit
+        def fwd(params, frames):
+            return decode_detections(model.apply(params, frames))
+
+        self._fwd = fwd
+
+    def detect_video(self, frames: np.ndarray, batch: int = 64) -> list:
+        """frames [T, H, W, 3] uint8 → per-frame [n_i, 4] float boxes
+        (full-frame pixels) for the tracker."""
+        from pmce_tpu.demo.preprocess import resize_frames
+
+        T, H, W = frames.shape[:3]
+        out = []
+        for i in range(0, T, batch):
+            chunk = frames[i:i + batch]
+            small = resize_frames(chunk, (INPUT_SIZE, INPUT_SIZE))
+            boxes, scores = self._fwd(self.params, small)
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            sx, sy = W / INPUT_SIZE, H / INPUT_SIZE
+            for b, s in zip(boxes, scores):
+                keep = s >= self.score_thresh
+                bb = b[keep]
+                out.append(np.stack([bb[:, 0] * sx, bb[:, 1] * sy,
+                                     bb[:, 2] * sx, bb[:, 3] * sy], -1)
+                           if len(bb) else np.zeros((0, 4), np.float32))
+        return out
+
+
+def ensure_cached_detector(art, cache_dir: str | None = None,
+                           log_fn=print, **train_kw) -> Detector:
+    """Load the cached synthetic-trained detector, training it on first use
+    (the self-contained replacement for the reference's external YOLOv3)."""
+    import os
+    import pickle
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, "person_detector.pkl")
+    if os.path.isfile(path):
+        with open(path, "rb") as f:
+            params = pickle.load(f)
+    else:
+        log_fn("no cached detector: training on synthetic renders "
+               "(one-time, ~2 min)...")
+        params = jax.device_get(train_detector(art, log_fn=log_fn,
+                                               **train_kw))
+        with open(path, "wb") as f:
+            pickle.dump(params, f)
+    return Detector(params=params)

@@ -268,8 +268,11 @@ class DemoPipeline:
           (results dict {person_id: tracklet outputs},
            rendered frames [T, H, W, 3] or None).
         """
+        # Clamp the reference's MIN_NUM_FRAMES=25 to the clip length so
+        # short videos still produce tracks.
         tracks = track_video(detections_per_frame,
-                             min_frames=self.cfg.min_track_frames)
+                             min_frames=min(self.cfg.min_track_frames,
+                                            len(frames)))
         results = {}
         for pid, tr in tracks.items():
             f_ids = tr["frames"]

@@ -88,6 +88,26 @@ def crop_resize_normalize(frames: jax.Array, bboxes: jax.Array,
     return jnp.transpose(crops, (0, 3, 1, 2))
 
 
+@partial(jax.jit, static_argnames=("out_hw",))
+def resize_frames(frames: jax.Array, out_hw: tuple) -> jax.Array:
+    """Whole-frame bilinear resize (shared operators, one fused program).
+
+    Args:
+      frames: [N, H, W, 3] uint8/float 0..255.
+      out_hw: static (out_h, out_w).
+
+    Returns:
+      [N, out_h, out_w, 3] float32 in 0..1 (detector input convention).
+    """
+    N, H, W, _ = frames.shape
+    oh, ow = out_hw
+    ry = _interp_matrix(jnp.float32(0.0), jnp.float32(H), H, oh)
+    rx = _interp_matrix(jnp.float32(0.0), jnp.float32(W), W, ow)
+    tmp = jnp.einsum("sh,nhwc->nswc", ry, frames.astype(jnp.float32))
+    out = jnp.einsum("tw,nswc->nstc", rx, tmp)
+    return out / 255.0
+
+
 def square_crop_bbox(bbox_xywh, scale: float = 1.1):
     """Tight bbox → scaled square crop box (demo convention).
 

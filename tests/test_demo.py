@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pmce_tpu.demo.camera import (
     convert_crop_cam_to_orig_img,
     fit_cam_closed_form,

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pmce_tpu.demo.pipeline import DemoConfig, DemoModels, DemoPipeline
 from pmce_tpu.demo.renderer import Renderer
 from pmce_tpu.models.pmce import create_pmce

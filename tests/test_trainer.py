@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pmce_tpu.core.config import Config, load_config
 from pmce_tpu.core.trainer import Trainer
 from pmce_tpu.data.clip_dataset import ClipDataset, MultiDataset
