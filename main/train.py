@@ -45,6 +45,12 @@ def main() -> None:
 
     compile_cache.enable()
 
+    # Multi-host bootstrap (no-op on a single host); then shard data-
+    # parallel over however many devices the process set exposes.
+    from pmce_tpu.parallel import distributed as dist
+
+    dist.initialize()
+
     from pmce_tpu.core import checkpoint as ckpt_lib
     from pmce_tpu.core.config import ensure_output_dirs, load_config
     from pmce_tpu.core.trainer import Trainer
@@ -106,12 +112,23 @@ def main() -> None:
     logger = MetricLogger(out_dir=dirs["output"],
                           use_wandb=cfg.TRAIN.wandb,
                           run_name=args.tag)
+    dev_mesh = None
+    if len(jax.devices()) > 1:
+        dev_mesh = dist.global_mesh()
+        if cfg.TRAIN.batch_size % dev_mesh.devices.shape[0]:
+            raise ValueError(
+                f"TRAIN.batch_size {cfg.TRAIN.batch_size} must divide by "
+                f"the data-mesh size {dev_mesh.devices.shape[0]}")
+        print(f"[pmce-tpu] data-parallel over {dev_mesh.devices.shape[0]} "
+              f"devices ({jax.process_count()} host(s))")
+
     trainer = Trainer(
         cfg=cfg, model=model,
         train_data=MultiDataset(train_list, seed=args.seed),
         test_data=test_ds,
         faces=art.faces, J_reg_target=j_reg_target,
         ckpt_dir=dirs["checkpoint"],
+        mesh=dev_mesh,
         eval_root_idx=eval_root,
         eval_joints=eval_joints,
         metric_logger=logger,

@@ -6,4 +6,10 @@ from pmce_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from pmce_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    host_local_slice,
+    initialize,
+    shard_host_batch,
+)
 from pmce_tpu.parallel.prefetch import prefetch_to_device  # noqa: F401

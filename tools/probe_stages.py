@@ -49,9 +49,13 @@ def main(dtype_name: str, B: int, fused: bool = False):
         _ = float(jf(params, *args))
         rates = []
         for _ in range(3):
+            # Lazy accumulation + ONE readback: per-call host syncs cost
+            # ~30 ms RTT over the dev tunnel and would swamp the compute.
+            acc = jf(params, *args) * 0.0
             t0 = time.time()
-            outs = [jf(params, *args) for _ in range(16)]
-            _ = sum(float(o) for o in outs)
+            for _ in range(16):
+                acc = acc + jf(params, *args)
+            _ = float(acc)
             rates.append((time.time() - t0) / 16 * 1000.0)
         print(json.dumps({"stage": name, "dtype": dtype_name, "batch": B,
                           "fused": fused,
