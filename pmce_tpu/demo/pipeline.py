@@ -18,8 +18,9 @@ TPU-first restructuring (where the ≥5× end-to-end speedup comes from):
 - raw frames are uploaded ONCE and all intermediates stay device-resident
   (on this development harness the TPU sits behind a ~10 MB/s tunnel, so
   end-to-end FPS here is transfer-bound at ~13 fps for 240×320 video; on a
-  directly-attached TPU host the same pipeline is compute-bound well above
-  100 fps — model throughput is 640k mid-frames/s, see bench.py).
+  directly-attached TPU host the same pipeline is compute-bound — PMCE
+  itself recovers ~10k mid-frames/s on one chip, honestly measured, see
+  bench.py).
 """
 
 from __future__ import annotations

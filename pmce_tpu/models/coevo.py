@@ -52,6 +52,7 @@ class CoevoBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.2
     dtype: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, joint: jax.Array, vertx: jax.Array, cond: jax.Array,
@@ -99,11 +100,13 @@ class CoevoBlock(nn.Module):
 
         joint_new = AdaBlock(
             self.joint_dim, self.joint_heads, self.mlp_ratio, qkv_bias=True,
-            drop_path=self.drop_path, dtype=self.dtype, name="joint_SA_FFN",
+            drop_path=self.drop_path, dtype=self.dtype, fused=self.fused,
+            name="joint_SA_FFN",
         )(joint_new, cond, deterministic)
         vertx_new = AdaBlock(
             self.vertx_dim, self.vertx_heads, self.mlp_ratio, qkv_bias=True,
-            drop_path=self.drop_path, dtype=self.dtype, name="vertx_SA_FFN",
+            drop_path=self.drop_path, dtype=self.dtype, fused=self.fused,
+            name="vertx_SA_FFN",
         )(vertx_new, cond, deterministic)
 
         # Coordinate heads ALWAYS f32: outputs are meter-scale positions
@@ -144,6 +147,7 @@ class CoevolutionDecoder(nn.Module):
     gru_hidden: int = 1024
     seqlen: int = 16
     dtype: Any = None
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, joints: jax.Array, img_feats: jax.Array,
@@ -170,7 +174,7 @@ class CoevolutionDecoder(nn.Module):
         for i in range(self.num_blocks):
             evo_pose, vertx = CoevoBlock(
                 self.num_joint, self.num_vertx, self.joint_dim,
-                self.vertx_dim, dtype=self.dtype,
+                self.vertx_dim, dtype=self.dtype, fused=self.fused_attn,
                 name=f"coevoblock{i + 1}",
             )(joints, vertx, cond, deterministic)
 

@@ -438,52 +438,81 @@ class BiGRU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: [T, B, C] → [T, B, 2 * hidden_dim].
 
-        The input projection (the 2/3-of-FLOPs half of the cell) is hoisted
-        OUT of the scan and computed for all T steps in one fat matmul;
-        only the recurrent half stays sequential. Values are bit-identical
-        to the naive per-step formulation.
+        Scan-latency engineering (the recurrent chain is the only part of
+        the whole model that cannot parallelize over T):
+        - the input projection (2/3 of the cell FLOPs) is hoisted OUT of
+          the scan and computed for all T steps in one fat matmul;
+        - the forward and backward DIRECTIONS run in ONE scan: their
+          recurrent weights stack into a [2, H, 3H] batched matmul and the
+          carry is [2, B, H], halving the sequential step count per layer.
+        Values are bit-identical to the naive per-step formulation (same
+        contraction per direction, no reassociation).
         """
         T, B, _ = x.shape
+        H = self.hidden_dim
+        dt = self.dtype or x.dtype
         for layer in range(self.num_layers):
-            outs = []
-            for direction, name in ((1, "fwd"), (-1, "bwd")):
-                cell = TorchGRUCell(self.hidden_dim, dtype=self.dtype,
-                                    name=f"l{layer}_{name}")
-                h0 = jnp.zeros((B, self.hidden_dim),
-                               self.dtype or x.dtype)
-                seq = x if direction == 1 else x[::-1]
-                gi_all = cell.precompute_inputs(seq)   # [T, B, 3H] at once
+            cells = [TorchGRUCell(H, in_dim=x.shape[-1], dtype=self.dtype,
+                                  name=f"l{layer}_{name}")
+                     for name in ("fwd", "bwd")]
+            # gi for both directions, each one fat [T, B, 3H] matmul.
+            gi = jnp.stack([cells[0].precompute_inputs(x),
+                            cells[1].precompute_inputs(x[::-1])])  # [2,T,B,3H]
+            gi = jnp.swapaxes(gi, 0, 1)                    # [T, 2, B, 3H]
+            # Stacked recurrent weights: one [2,B,H]×[2,H,3H] bmm per step.
+            whh = jnp.stack([c.hh_kernel() for c in cells]).astype(dt)
+            bhh = jnp.stack([c.hh_bias() for c in cells]).astype(dt)
 
-                def step(cell, carry, gi_t):
-                    h = cell.step(gi_t, carry)
-                    return h, h
+            def step(carry, gi_t, whh=whh, bhh=bhh):
+                gh = jnp.einsum("dbh,dhk->dbk", carry, whh) + bhh[:, None]
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h = (1.0 - z) * n + z * carry
+                return h, h
 
-                scan = nn.scan(
-                    step, variable_broadcast="params",
-                    split_rngs={"params": False}, in_axes=0, out_axes=0,
-                )
-                _, ys = scan(cell, h0, gi_all)
-                outs.append(ys if direction == 1 else ys[::-1])
-            x = jnp.concatenate(outs, axis=-1)
+            h0 = jnp.zeros((2, B, H), dt)
+            _, ys = jax.lax.scan(step, h0, gi)             # [T, 2, B, H]
+            x = jnp.concatenate([ys[:, 0], ys[::-1, 1]], axis=-1)
         return x
 
 
 class TorchGRUCell(nn.Module):
-    """A single GRU cell with torch's gate math and weight layout."""
+    """A single GRU cell with torch's gate math and weight layout.
+
+    Parameters live in :class:`DenseParams` holders (identical tree to
+    ``nn.Dense``: ``ih/{kernel,bias}``, ``hh/{kernel,bias}``) so the
+    recurrent weights can be read unapplied for direction-stacked scans.
+    """
 
     hidden_dim: int
+    in_dim: int
     dtype: Any = None
 
     def setup(self):
-        self.ih = nn.Dense(3 * self.hidden_dim, dtype=self.dtype, name="ih")
-        self.hh = nn.Dense(3 * self.hidden_dim, dtype=self.dtype, name="hh")
+        self._ih = DenseParams(self.in_dim, 3 * self.hidden_dim, name="ih")
+        self._hh = DenseParams(self.hidden_dim, 3 * self.hidden_dim,
+                               name="hh")
 
     def precompute_inputs(self, x: jax.Array) -> jax.Array:
         """Input-gate projections for a whole [T, B, I] sequence."""
-        return self.ih(x)
+        k, b = self._ih()
+        dt = self.dtype or x.dtype
+        return x.astype(dt) @ k.astype(dt) + b.astype(dt)
+
+    def hh_kernel(self) -> jax.Array:
+        """Recurrent kernel [H, 3H] (for direction-stacked scans)."""
+        return self._hh()[0]
+
+    def hh_bias(self) -> jax.Array:
+        return self._hh()[1]
 
     def step(self, gi: jax.Array, h: jax.Array) -> jax.Array:
-        gh = self.hh(h)
+        k, b = self._hh()
+        dt = self.dtype or h.dtype
+        gh = h.astype(dt) @ k.astype(dt) + b.astype(dt)
         i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
         h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
         r = jax.nn.sigmoid(i_r + h_r)

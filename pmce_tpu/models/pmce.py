@@ -53,7 +53,8 @@ class PMCE(nn.Module):
         self.pose_mesh_coevo = CoevolutionDecoder(
             num_joint=self.num_joint, vj_relation=self.vj_relation,
             num_vertx=self.num_vertx, num_verts_full=self.num_verts_full,
-            seqlen=self.seqlen, dtype=self.dtype, name="pose_mesh_coevo")
+            seqlen=self.seqlen, dtype=self.dtype,
+            fused_attn=self.fused_attn, name="pose_mesh_coevo")
 
     def __call__(self, pose2d: jax.Array, img_feat: jax.Array,
                  deterministic: bool = True):

@@ -79,7 +79,9 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
         sm = s * mask01
         m = jnp.max(sm, axis=-1, keepdims=True)          # ≥ in-clip max
         p = jnp.exp(sm - m) * mask01
-        r = jnp.sum(p, axis=-1, keepdims=True)
+        # max(r, eps): fully-masked (padding) rows would divide by zero;
+        # their outputs are sliced away by the caller.
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         o = jnp.dot(p.astype(h.dtype), v,
                     preferred_element_type=jnp.float32)
         outs.append(o / r)                                # deferred softmax ÷
@@ -202,9 +204,11 @@ def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
     B, N, C = x.shape
     dtype = x.dtype
     if N > 64:
-        # Long sequences (e.g. the 431-vertex stream) don't fit the
-        # G-clips-per-block design; XLA's native path is fine there.
-        return mhsa_reference(x, wqkv, bqkv, wproj, bproj, num_heads)
+        # Long sequences (the 431-vertex stream): one clip per grid step,
+        # tokens padded to a sublane multiple and masked out. Still one
+        # HBM read/write of x — XLA's native path materializes the
+        # [B, H, N, N] score tensor (hundreds of MB at batch 256).
+        return _fused_mhsa_single(x, wqkv, bqkv, wproj, bproj, num_heads)
     G = _pick_group(B, N)
     R = G * N
     x2, wqkv, bqkv, wproj, bproj, Bp, pad = _prep(
@@ -230,6 +234,44 @@ def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
     )(x2, wqkv, bqkv, wproj, bproj, _clip_mask(G, N))
     out = out.reshape(Bp, N, C)
     return out[:B] if pad else out
+
+
+def _fused_mhsa_single(x, wqkv, bqkv, wproj, bproj, num_heads):
+    """One-clip-per-program variant for token counts > 64 (e.g. N=431)."""
+    B, N, C = x.shape
+    dtype = x.dtype
+    Np = -(-N // 16) * 16            # sublane-aligned for f32 AND bf16
+    xp = (jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x)
+    x2 = xp.reshape(B * Np, C)
+    wqkv = wqkv.astype(dtype)
+    wproj = wproj.astype(dtype)
+    bq = bqkv.astype(jnp.float32).reshape(1, -1)
+    bp = bproj.astype(jnp.float32).reshape(1, -1)
+
+    import numpy as np
+
+    valid = (np.arange(Np) < N).astype("float32")
+    mask = jnp.asarray(valid[:, None] * valid[None, :])
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((Np, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dh = C // num_heads
+    flops = B * (2 * Np * C * 3 * C + num_heads * 4 * Np * Np * dh
+                 + 2 * Np * C * C)
+    out = pl.pallas_call(
+        functools.partial(_mhsa_kernel, num_heads=num_heads),
+        grid=(B,),
+        in_specs=[rows] + [full] * 5,
+        out_specs=rows,
+        out_shape=jax.ShapeDtypeStruct((B * Np, C), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * Np * C * x2.dtype.itemsize,
+            transcendentals=B * num_heads * Np * Np,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, wqkv, bq, wproj, bp, mask)
+    return out.reshape(B, Np, C)[:, :N]
 
 
 def _fused_mhsa_fwd(x, wqkv, bqkv, wproj, bproj, num_heads):
