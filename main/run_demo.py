@@ -41,7 +41,7 @@ def _synthetic_video(art, T=48, H=240, W=320):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         verts, _ = smpl_forward(model, jnp.asarray(pose),
-                                jnp.zeros((T, 10)))
+                                jnp.zeros((T, 10)), fused=False)
     verts = np.asarray(verts)
     renderer = Renderer(art.faces, resolution=(W, H), alpha=1.0)
     frames = np.full((T, H, W, 3), 30, np.uint8)

@@ -318,10 +318,14 @@ class Trainer:
             if collect:
                 # Collection pulls full prediction arrays (syncs per batch
                 # by necessity); the fast path above stays device-side.
+                # Only the metric-relevant target keys come back, not the
+                # [B,T,2048] features.
                 pred_mesh = np.asarray(out.get("pred_mesh", 0))
                 pred_joint = np.asarray(out["pred_joint"])
-                batch = jax.device_get(batch_dev)
-                for j in range(len(batch["pose2d"])):
+                keys = (("mesh", "reg_pose3d") if self.is_mesh_model
+                        else ("lift_pose3d",))
+                batch = {k: np.asarray(batch_dev[k]) for k in keys}
+                for j in range(len(pred_joint)):
                     rec = {"joint_coord": pred_joint[j]}
                     if self.is_mesh_model:
                         rec["mesh_coord"] = pred_mesh[j]

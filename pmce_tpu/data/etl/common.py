@@ -156,9 +156,9 @@ def smpl_verts_joints(art: SMPLArtifacts, pose: np.ndarray,
             t = (None if trans is None
                  else jnp.asarray(trans[i:i + batch], jnp.float32))
             if t is None:
-                v, j = fwd(model, p, s)
+                v, j = fwd(model, p, s, fused=False)   # host CPU path
             else:
-                v, j = fwd(model, p, s, t)
+                v, j = fwd(model, p, s, t, fused=False)
             verts_all.append(np.asarray(v))
             joints_all.append(np.asarray(j))
     return np.concatenate(verts_all), np.concatenate(joints_all)

@@ -78,7 +78,7 @@ def _smpl_verts_on_host(art: SMPLArtifacts, pose: np.ndarray,
         model = SMPLModel.from_artifacts(art)
         verts, _ = smpl_forward(
             model, jnp.asarray(pose, jnp.float32),
-            jnp.asarray(shape, jnp.float32))
+            jnp.asarray(shape, jnp.float32), fused=False)
         return np.asarray(verts)
 
 

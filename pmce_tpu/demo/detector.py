@@ -161,7 +161,7 @@ def render_training_set(art, n: int, seed: int = 0,
         pose[:, :3] = rng.normal(scale=0.6, size=(n, 3))
         shape = rng.normal(scale=0.7, size=(n, 10)).astype(np.float32)
         verts, _ = smpl_forward(model, jnp.asarray(pose),
-                                jnp.asarray(shape))
+                                jnp.asarray(shape), fused=False)
     verts = np.asarray(verts)
     renderer = Renderer(art.faces, resolution=(size, size), alpha=1.0)
 
