@@ -6,12 +6,15 @@ API parity target: /root/reference/main/run_demo.py —
 decode → track → 2D pose → features → PMCE → camera fit → render → encode.
 
 Differences from the reference deployment:
-- detector weights (YOLOv3) and ViTPose/SPIN checkpoints are external,
-  license-gated artifacts; without them the CLI accepts precomputed
-  detections (``--detections dets.npz`` with per-frame boxes/keypoints) or
-  runs ``--synthetic`` — a fully self-contained mode that renders a moving
-  synthetic body, detects it by background subtraction, and runs the real
-  pipeline end-to-end (the verification path on TPU);
+- person detection is FIRST-PARTY: a center-point detector trained on
+  synthetic SMPL renders (pmce_tpu/demo/detector.py, cached after the
+  first run) replaces the reference's external CUDA YOLOv3 — real videos
+  run with no external weights at all. Precomputed detections are still
+  accepted (``--detections dets.npz``), and ``--synthetic`` is a fully
+  self-contained mode (renders a moving body, detects it by background
+  subtraction) used for TPU verification;
+- real SPIN / ViTPose weights, when available, load via
+  ``--spin-weights`` / ``--vitpose-weights`` (tools/import_backbones.py);
 - all model stages are batched jitted calls (see pmce_tpu/demo/pipeline.py).
 """
 

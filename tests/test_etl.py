@@ -21,7 +21,7 @@ from pmce_tpu.data.etl import (
     convert_mpii3d,
     convert_pw3d,
 )
-from pmce_tpu.data.packed import load_packed, save_packed
+from pmce_tpu.data.packed import save_packed
 from tests.etl_fixtures import (
     build_coco_mock,
     build_h36m_mock,
