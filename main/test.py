@@ -46,7 +46,7 @@ def main() -> None:
         build_test_dataset,
         target_joint_regressor,
     )
-    from pmce_tpu.models.pmce import create_pmce
+    from pmce_tpu.models.pmce import create_pmce, resolve_compute_dtype
     from pmce_tpu.models.pose_lifter import PoseLifter
     from pmce_tpu.smpl.artifacts import ensure_cached_artifacts
     from pmce_tpu.smpl.mesh import ensure_cached_coarsening
@@ -58,17 +58,20 @@ def main() -> None:
     test_ds = build_test_dataset(cfg, art)
     j_reg_target = target_joint_regressor(cfg, test_ds)
 
+    dtype = resolve_compute_dtype(cfg.MODEL.compute_dtype)
     if cfg.MODEL.name == "PMCE":
         model, _ = create_pmce(
             num_joint=test_ds.num_joints, art=art, coarsening=coarse,
             joint_regressor_h36m=test_ds.joint_regressor_h36m,
             embed_dim=cfg.MODEL.hpe_dim, depth=cfg.MODEL.hpe_dep,
-            seqlen=cfg.DATASET.seqlen)
+            seqlen=cfg.DATASET.seqlen, dtype=dtype,
+            fused_attn=cfg.MODEL.fused_attn)
     else:
         model = PoseLifter(num_joints=test_ds.num_joints,
                            num_frames=cfg.DATASET.seqlen,
                            embed_dim=cfg.MODEL.hpe_dim,
-                           depth=cfg.MODEL.hpe_dep)
+                           depth=cfg.MODEL.hpe_dep, dtype=dtype,
+                           fused_attn=cfg.MODEL.fused_attn)
 
     eval_root = getattr(test_ds, "eval_root_idx", 0)
     eval_joints = (None if (cfg.MODEL.name == "PoseEst" and eval_root != 0)

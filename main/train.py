@@ -60,7 +60,7 @@ def main() -> None:
         build_train_datasets,
         target_joint_regressor,
     )
-    from pmce_tpu.models.pmce import create_pmce
+    from pmce_tpu.models.pmce import create_pmce, resolve_compute_dtype
     from pmce_tpu.models.pose_lifter import PoseLifter
     from pmce_tpu.smpl.artifacts import ensure_cached_artifacts
     from pmce_tpu.smpl.mesh import ensure_cached_coarsening
@@ -86,17 +86,20 @@ def main() -> None:
     main_ds = train_list[0]
     j_reg_target = target_joint_regressor(cfg, main_ds)
 
+    dtype = resolve_compute_dtype(cfg.MODEL.compute_dtype)
     if cfg.MODEL.name == "PMCE":
         model, _assets = create_pmce(
             num_joint=main_ds.num_joints, art=art, coarsening=coarse,
             joint_regressor_h36m=main_ds.joint_regressor_h36m,
             embed_dim=cfg.MODEL.hpe_dim, depth=cfg.MODEL.hpe_dep,
-            seqlen=cfg.DATASET.seqlen)
+            seqlen=cfg.DATASET.seqlen, dtype=dtype,
+            fused_attn=cfg.MODEL.fused_attn)
     elif cfg.MODEL.name == "PoseEst":
         model = PoseLifter(num_joints=main_ds.num_joints,
                            num_frames=cfg.DATASET.seqlen,
                            embed_dim=cfg.MODEL.hpe_dim,
-                           depth=cfg.MODEL.hpe_dep)
+                           depth=cfg.MODEL.hpe_dep, dtype=dtype,
+                           fused_attn=cfg.MODEL.fused_attn)
     else:
         raise ValueError(f"unknown MODEL.name {cfg.MODEL.name!r}")
 

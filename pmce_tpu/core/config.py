@@ -52,6 +52,13 @@ class ModelConfig:
     # TPU-native additions:
     num_verts: int = 6890
     num_vertx_coarse: int = 431
+    # Mixed-precision policy: "float32" = pinned-precision attention
+    # (metric-grade, the reference's effective numerics); "bfloat16" =
+    # MXU-native matmuls with f32 params and f32 coordinate heads.
+    compute_dtype: str = "float32"
+    # Route attention through the fused short-sequence Pallas kernels
+    # (ops/fused_attention.py) — same math, custom VJP for training.
+    fused_attn: bool = False
 
 
 @dataclasses.dataclass

@@ -27,6 +27,23 @@ from pmce_tpu.smpl.mesh import (
 )
 
 
+def resolve_compute_dtype(name: str):
+    """Map a config ``MODEL.compute_dtype`` string to the model policy.
+
+    ``"float32"`` → None (pinned-precision f32 path); ``"bfloat16"`` →
+    jnp.bfloat16 (params stay f32, matmuls/activations run bf16,
+    coordinate-valued heads pinned f32).
+    """
+    table = {"float32": None, "f32": None,
+             "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    try:
+        return table[name]
+    except KeyError:
+        raise ValueError(
+            f"MODEL.compute_dtype {name!r}: use float32 or bfloat16"
+        ) from None
+
+
 class PMCE(nn.Module):
     """Video 2D pose + image features → mid-frame 3D pose and SMPL mesh."""
 

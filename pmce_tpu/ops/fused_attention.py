@@ -279,12 +279,185 @@ def _fused_mhsa_fwd(x, wqkv, bqkv, wproj, bproj, num_heads):
             (x, wqkv, bqkv, wproj, bproj))
 
 
+def _attn_bwd_core(x, g, wqkv, bqkv, wproj, mask01, num_heads: int):
+    """Recompute + backward of :func:`_attn_core` on one VMEM [R, C] block.
+
+    Flash-attention-style: nothing is saved from the forward; qkv and the
+    per-head probabilities are recomputed in VMEM (the recompute matmuls
+    are ~free next to the HBM round-trips a residual stash would cost).
+    Returns ``dx`` (compute dtype) and f32 parameter-gradient contributions
+    for THIS row block — the kernel accumulates them across grid steps.
+    """
+    R, C = x.shape
+    dh = C // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dtype = x.dtype
+
+    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv).astype(dtype)                     # [R, 3C]
+    gf = g.astype(jnp.float32)
+    # do = g @ wprojᵀ (contract the output channel of both).
+    do = jax.lax.dot_general(g, wproj, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [R, C]
+
+    dqs, dks, dvs, dwp_rows = [], [], [], []
+    for hd in range(num_heads):
+        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                          (R, 2 * C + (hd + 1) * dh))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        sm = s * mask01
+        m = jnp.max(sm, axis=-1, keepdims=True)
+        p = jnp.exp(sm - m) * mask01
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        pn = p / r                                       # f32 [R, R]
+        pn_c = pn.astype(dtype)
+
+        do_h = jax.lax.slice(do, (0, hd * dh), (R, (hd + 1) * dh))
+        do_hc = do_h.astype(dtype)
+        # o_h is only needed for dwproj's rows: o_hᵀ @ g.
+        o_h = jnp.dot(pn_c, v, preferred_element_type=jnp.float32) \
+            .astype(dtype)
+        dwp_rows.append(jax.lax.dot_general(
+            o_h, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # [dh, C]
+        # Softmax-block backward (masked entries have pn == 0 → ds == 0).
+        dpn = jax.lax.dot_general(do_hc, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pn_c, do_hc, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqs, -1), jnp.concatenate(dks, -1),
+         jnp.concatenate(dvs, -1)], -1)                  # f32 [R, 3C]
+    dqkv_c = dqkv.astype(dtype)
+    dwqkv = jax.lax.dot_general(x, dqkv_c, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)         # [1, 3C]
+    dwproj = jnp.concatenate(dwp_rows, 0)                # [C, C]
+    dbproj = jnp.sum(gf, axis=0, keepdims=True)          # [1, C]
+    dx = jax.lax.dot_general(dqkv_c, wqkv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dx.astype(dtype), dwqkv, dbqkv, dwproj, dbproj
+
+
+def _mhsa_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, mask_ref,
+                     dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                     *, num_heads: int):
+    i = pl.program_id(0)
+    dx, dwqkv, dbqkv, dwproj, dbproj = _attn_bwd_core(
+        x_ref[:], g_ref[:], wqkv_ref[:], bqkv_ref[:], wproj_ref[:],
+        mask_ref[:], num_heads)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    # Param grads accumulate sequentially across grid steps: constant
+    # index maps keep these output blocks VMEM-resident for the whole grid.
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_ref[:] = dwqkv
+        dbqkv_ref[:] = dbqkv
+        dwproj_ref[:] = dwproj
+        dbproj_ref[:] = dbproj
+
+    @pl.when(i > 0)
+    def _acc():
+        dwqkv_ref[:] += dwqkv
+        dbqkv_ref[:] += dbqkv
+        dwproj_ref[:] += dwproj
+        dbproj_ref[:] += dbproj
+
+
 def _fused_mhsa_bwd(num_heads, res, g):
-    # Flash-style recompute through the XLA reference path; forward values
-    # match the kernel to bf16 tolerance, which is ample for gradients.
-    _, vjp = jax.vjp(
-        lambda *a: mhsa_reference(*a, num_heads=num_heads), *res)
-    return vjp(g)
+    """Pallas backward: same VMEM-resident row blocks as the forward.
+
+    Per block: recompute qkv + per-head probabilities, run the head-wise
+    backward chain entirely in VMEM, and accumulate the four parameter
+    gradients across the (sequential) grid. HBM traffic per layer is one
+    read of x and g plus one write of dx — the XLA recompute path this
+    replaces materialized every per-head intermediate (measured: the
+    lifter's backward dominated the whole train step).
+    """
+    x, wqkv, bqkv, wproj, bproj = res
+    B, N, C = x.shape
+    dtype = x.dtype
+
+    if N > 64:
+        # Single-clip-per-program variant (the 431-token vertex stream).
+        import numpy as np
+
+        Np = -(-N // 16) * 16
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+            g = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
+        x2 = x.reshape(B * Np, C)
+        g2 = g.astype(dtype).reshape(B * Np, C)
+        valid = (np.arange(Np) < N).astype("float32")
+        mask = jnp.asarray(valid[:, None] * valid[None, :])
+        R, grid, Bp, pad = Np, B, B, 0
+    else:
+        G = _pick_group(B, N)
+        R = G * N
+        x2, _, _, _, _, Bp, pad = _prep(x, wqkv, bqkv, wproj, bproj, G)
+        if pad:
+            g = jnp.concatenate(
+                [g, jnp.zeros((pad, N, C), g.dtype)], axis=0)
+        g2 = g.astype(dtype).reshape(Bp * N, C)
+        mask = _clip_mask(G, N)
+        grid = Bp // G
+
+    wqkv_c = wqkv.astype(dtype)
+    wproj_c = wproj.astype(dtype)
+    bq = bqkv.astype(jnp.float32).reshape(1, -1)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    dh = C // num_heads
+    # ~3× the forward matmul FLOPs (recompute + two backward chains).
+    flops = grid * 3 * (2 * R * C * 3 * C + num_heads * 4 * R * R * dh
+                        + 2 * R * C * C)
+    dx2, dwqkv, dbqkv, dwproj, dbproj = pl.pallas_call(
+        functools.partial(_mhsa_bwd_kernel, num_heads=num_heads),
+        grid=(grid,),
+        in_specs=[rows, rows] + [full] * 4,
+        out_specs=[rows, acc((C, 3 * C)), acc((1, 3 * C)), acc((C, C)),
+                   acc((1, C))],
+        out_shape=[
+            jax.ShapeDtypeStruct(x2.shape, dtype),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * x2.size * x2.dtype.itemsize,
+            transcendentals=grid * num_heads * R * R,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, g2, wqkv_c, bq, wproj_c, mask)
+
+    if N > 64:
+        dx = dx2.reshape(B, Np, C)[:, :N]
+    else:
+        dx = dx2.reshape(Bp, N, C)[:B]
+    return (dx.astype(x.dtype),
+            dwqkv.astype(wqkv.dtype),
+            dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.reshape(bproj.shape).astype(bproj.dtype))
 
 
 fused_mhsa.defvjp(_fused_mhsa_fwd, _fused_mhsa_bwd)
@@ -392,10 +565,32 @@ def _fused_block_fwd(x, params, num_heads, eps, post_eps):
     return _fused_block_impl(x, params, num_heads, eps, post_eps), (x, params)
 
 
+def _block_bwd_path(x, params, num_heads, eps, post_eps):
+    """Differentiation path for the fused block: identical math to
+    :func:`block_reference`, but attention goes through :func:`fused_mhsa`
+    so its Pallas backward kernel carries the dominant cost. LN/MLP
+    backward stays XLA (fat, MXU-friendly matmuls)."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
+     gp, bp) = params
+    dtype = x.dtype
+    h1 = _ln_ref(x, g1, b1, eps).astype(dtype)
+    x1 = (x.astype(jnp.float32)
+          + fused_mhsa(h1, wqkv, bqkv, wproj, bproj,
+                       num_heads).astype(jnp.float32))
+    h2 = _ln_ref(x1, g2, b2, eps).astype(dtype)
+    hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+    mo = (hh.astype(dtype) @ w2.astype(dtype)).astype(jnp.float32) + bb2
+    y = x1 + mo
+    if gp is not None:
+        y = _ln_ref(y, gp, bp, post_eps)
+    return y.astype(dtype)
+
+
 def _fused_block_bwd(num_heads, eps, post_eps, res, g):
     x, params = res
     _, vjp = jax.vjp(
-        lambda x, p: block_reference(x, p, num_heads, eps, post_eps),
+        lambda x, p: _block_bwd_path(x, p, num_heads, eps, post_eps),
         x, params)
     return vjp(g)
 

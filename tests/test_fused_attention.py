@@ -70,6 +70,29 @@ def test_fused_gradients_flow():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("B,N,C,H", [
+    (7, 19, 64, 4),     # grouped path, ragged group padding
+    (2, 80, 64, 2),     # single-clip path (N > 64) with token padding
+])
+def test_fused_backward_kernel_parity(B, N, C, H):
+    """The Pallas backward kernel (recompute-in-VMEM, accumulated param
+    grads) must match the XLA reference VJP on both dispatch variants."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    w = _rand_weights(rng, C)
+    ct = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    g_fused = jax.grad(
+        lambda x, *w: jnp.sum(fused_mhsa(x, *w, H) * ct),
+        argnums=(0, 1, 2, 3, 4))(x, *w)
+    g_ref = jax.grad(
+        lambda x, *w: jnp.sum(mhsa_reference(x, *w, num_heads=H) * ct),
+        argnums=(0, 1, 2, 3, 4))(x, *w)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_fused_bf16():
     rng = np.random.default_rng(3)
     B, N, C, H = 8, 19, 256, 8

@@ -181,6 +181,42 @@ def test_bf16_fused_serving_policy_metric_delta(trained, setup):
     assert abs(se_bf16 - se_f32) <= 1e-3 * se_f32, (se_f32, se_bf16)
 
 
+def test_bf16_mixed_precision_training(trained, setup):
+    """MODEL.compute_dtype='bfloat16' TRAINS end to end: master params stay
+    f32 (Adam state and updates in f32), matmuls/activations run bf16,
+    attention goes through the fused Pallas kernels' custom VJP. The loss
+    must decrease and the final eval must land near the f32 run's."""
+    import jax.numpy as jnp
+
+    from pmce_tpu.models.pmce import resolve_compute_dtype
+
+    assert resolve_compute_dtype("float32") is None
+    assert resolve_compute_dtype("bfloat16") is jnp.bfloat16
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_compute_dtype("float16")
+
+    trainer_f32, _, _ = trained
+    art, coarse, jr, train_ds, test_ds = setup
+    model, _ = create_pmce(num_joint=17, art=art, coarsening=coarse,
+                           joint_regressor_h36m=jr, embed_dim=32, depth=1,
+                           dtype=jnp.bfloat16, fused_attn=True)
+    trainer = Trainer(cfg=_cfg(), model=model,
+                      train_data=MultiDataset([train_ds], seed=0),
+                      test_data=test_ds, faces=art.faces, J_reg_target=jr,
+                      log_fn=lambda *_: None)
+    state = trainer.fit()
+    assert trainer.loss_history[-1] < trainer.loss_history[0]
+    # Master weights stayed f32 under the bf16 compute policy.
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == np.float32, leaf.dtype
+    # Same data, seed, and step count as the f32 run: trajectories round
+    # differently but must converge to the same neighborhood.
+    je_bf16 = trainer.error_history["joint"][-1]
+    je_f32 = trainer_f32.error_history["joint"][-1]
+    assert np.isfinite(je_bf16)
+    assert abs(je_bf16 - je_f32) <= 0.15 * je_f32, (je_f32, je_bf16)
+
+
 def test_config_strict_overlay(tmp_path):
     p = tmp_path / "c.yml"
     p.write_text("TRAIN:\n  lr: 0.01\n  batch_size: 4\n")
