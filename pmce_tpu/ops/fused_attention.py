@@ -1,6 +1,7 @@
 """Fused multi-head self-attention Pallas kernel for SHORT token sequences.
 
-Motivation (measured on TPU v5e, see docs/PERF.md): PMCE's transformers
+Motivation (measured on TPU v5e, see README "Measured performance") —
+PMCE's transformers
 attend over tiny token sets (J=19 joints / T=16 frames / V=431 coarse
 vertices — reference /root/reference/lib/models/PoseEstimation.py:54-57 and
 CoevoDecoder.py:89-131). Under plain XLA the per-head [B·T, H, N, dh]
