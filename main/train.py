@@ -123,7 +123,8 @@ def main() -> None:
                 f"TRAIN.batch_size {cfg.TRAIN.batch_size} must divide by "
                 f"the data-mesh size {dev_mesh.devices.shape[0]}")
         print(f"[pmce-tpu] data-parallel over {dev_mesh.devices.shape[0]} "
-              f"devices ({jax.process_count()} host(s))")
+              f"devices ({jax.process_count()} host(s))"
+              + (", FSDP param/opt sharding" if cfg.TRAIN.fsdp else ""))
 
     trainer = Trainer(
         cfg=cfg, model=model,

@@ -79,6 +79,10 @@ class TrainConfig:
     seed: int = 123
     steps_per_epoch: int = 0         # 0 = full dataset
     data_axis: str = "data"          # mesh axis for batch sharding
+    # ZeRO/FSDP: shard params + optimizer state leaf-wise over the data
+    # axis (all-gather on use, reduce-scatter on grads — inserted by
+    # GSPMD). Cuts per-device state memory ~n_devices×; same math.
+    fsdp: bool = False
 
 
 @dataclasses.dataclass

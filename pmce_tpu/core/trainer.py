@@ -243,7 +243,13 @@ class Trainer:
         state = TrainState(params=params, opt_state=opt_state,
                            step=jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            state = mesh_lib.replicate(self.mesh, state)
+            if self.cfg.TRAIN.fsdp:
+                # ZeRO/FSDP: params + optimizer state shard leaf-wise over
+                # the data axis; jit propagates the shardings through the
+                # step, so the update runs on 1/n of each leaf per device.
+                state = mesh_lib.shard_fsdp(self.mesh, state)
+            else:
+                state = mesh_lib.replicate(self.mesh, state)
         return state
 
     # --------------------------------------------------------------- train

@@ -52,3 +52,32 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def fsdp_leaf_sharding(mesh: Mesh, x) -> NamedSharding:
+    """ZeRO/FSDP-style sharding rule for one parameter or optimizer leaf.
+
+    Shard the LARGEST axis divisible by the data-axis size over ``data``;
+    leaves with no such axis (biases, scalars, small LN vectors) stay
+    replicated. GSPMD then inserts the all-gather at each use and the
+    reduce-scatter on the gradient — the standard jax FSDP recipe (no
+    hand-written collectives).
+    """
+    n = mesh.shape["data"]
+    shape = getattr(x, "shape", ())
+    best = None
+    for axis, dim in enumerate(shape):
+        if dim % n == 0 and dim >= n and (best is None
+                                          or dim > shape[best]):
+            best = axis
+    if best is None:
+        return replicated_sharding(mesh)
+    spec = [None] * len(shape)
+    spec[best] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_fsdp(mesh: Mesh, tree):
+    """Device-put params/opt-state with per-leaf FSDP shardings."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, fsdp_leaf_sharding(mesh, x)), tree)
