@@ -140,14 +140,14 @@ def main() -> None:
 
     state = None
     if args.resume:
-        loaded = ckpt_lib.load_checkpoint(args.resume)
-        print(f"resumed from epoch {loaded.get('epoch')}")
-        cfg.TRAIN.begin_epoch = int(loaded.get("epoch", 0)) + 1
+        state, last_epoch = trainer.restore(args.resume)
+        print(f"resumed from epoch {last_epoch}")
+        cfg.TRAIN.begin_epoch = last_epoch + 1
 
     # Stage-2 warm start from Stage-1 weights (reference
     # PoseEstimation.py:68-74, cfg.MODEL.posenet_pretrained/posenet_path).
     if (cfg.MODEL.name == "PMCE" and cfg.MODEL.posenet_pretrained
-            and cfg.MODEL.posenet_path):
+            and cfg.MODEL.posenet_path and state is None):
         state = trainer.init_state(
             trainer.train_data.sample_batch(cfg.TRAIN.batch_size))
         lifter = ckpt_lib.load_checkpoint(
@@ -157,6 +157,14 @@ def main() -> None:
         params = dict(state.params)
         params["pose_lifter"] = lifter
         state = state.replace(params=params)
+        if dev_mesh is not None:
+            # The warm-started subtree is host numpy: re-apply the mesh
+            # placement so the FSDP (or replicated) invariant holds.
+            from pmce_tpu.parallel import mesh as mesh_lib
+
+            state = (mesh_lib.shard_fsdp(dev_mesh, state)
+                     if cfg.TRAIN.fsdp
+                     else mesh_lib.replicate(dev_mesh, state))
         print(f"loaded Stage-1 weights from {cfg.MODEL.posenet_path}")
 
     state = trainer.fit(state)

@@ -378,6 +378,48 @@ class Trainer:
             return self.test_data.evaluate(results, verbose=verbose)
         return self.test_data.evaluate_joint(results, verbose=verbose)
 
+    def restore(self, path: str) -> tuple[TrainState, int]:
+        """Resume from a checkpoint: params AND optimizer state (reference
+        ``--resume_training`` semantics, lib/core/base.py:64-89), loss and
+        error history, with mesh placement (replicated or FSDP) re-applied.
+
+        Returns (state, last_completed_epoch).
+        """
+        state = self.init_state(
+            self.train_data.sample_batch(self.cfg.TRAIN.batch_size))
+        loaded = ckpt_lib.load_checkpoint(
+            path,
+            params_template=jax.device_get(state.params),
+            opt_state_template=jax.device_get(state.opt_state))
+        state = state.replace(
+            params=loaded["params"],
+            opt_state=loaded.get("opt_state", state.opt_state))
+        if self.mesh is not None:
+            state = (mesh_lib.shard_fsdp(self.mesh, state)
+                     if self.cfg.TRAIN.fsdp
+                     else mesh_lib.replicate(self.mesh, state))
+        self.loss_history = list(loaded.get("train_log", []))
+        if loaded.get("test_log"):
+            self.error_history = dict(loaded["test_log"])
+        return state, int(loaded.get("epoch", 0))
+
+    def _to_host(self, tree):
+        """Fetch a (possibly sharded) pytree to host numpy for checkpoints.
+
+        FSDP leaves on a multi-host mesh are not fully addressable —
+        ``jax.device_get`` would raise — so those gather across processes
+        first; everything else is a plain device_get."""
+        def fetch(x):
+            sh = getattr(x, "sharding", None)
+            if sh is not None and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+
+                return np.asarray(multihost_utils.process_allgather(
+                    x, tiled=True))
+            return jax.device_get(x)
+
+        return jax.tree_util.tree_map(fetch, tree)
+
     # ----------------------------------------------------------------- fit
     def fit(self, state: TrainState | None = None) -> TrainState:
         tcfg = self.cfg.TRAIN
@@ -397,8 +439,8 @@ class Trainer:
                 ckpt_lib.save_checkpoint(
                     self.ckpt_dir, epoch, tcfg.end_epoch,
                     {
-                        "params": jax.device_get(state.params),
-                        "opt_state": jax.device_get(state.opt_state),
+                        "params": self._to_host(state.params),
+                        "opt_state": self._to_host(state.opt_state),
                         "train_log": self.loss_history,
                         "test_log": self.error_history,
                     },

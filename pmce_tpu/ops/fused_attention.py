@@ -237,22 +237,28 @@ def _fused_mhsa_impl(x, wqkv, bqkv, wproj, bproj, num_heads):
     return out[:B] if pad else out
 
 
+def _pad_tokens(N: int):
+    """Single-clip-variant padding recipe, shared by forward and backward:
+    sublane-aligned token count (multiple of 16 covers f32 AND bf16
+    tiling) plus the valid-token outer-product mask."""
+    import numpy as np
+
+    Np = -(-N // 16) * 16
+    valid = (np.arange(Np) < N).astype("float32")
+    return Np, jnp.asarray(valid[:, None] * valid[None, :])
+
+
 def _fused_mhsa_single(x, wqkv, bqkv, wproj, bproj, num_heads):
     """One-clip-per-program variant for token counts > 64 (e.g. N=431)."""
     B, N, C = x.shape
     dtype = x.dtype
-    Np = -(-N // 16) * 16            # sublane-aligned for f32 AND bf16
+    Np, mask = _pad_tokens(N)
     xp = (jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x)
     x2 = xp.reshape(B * Np, C)
     wqkv = wqkv.astype(dtype)
     wproj = wproj.astype(dtype)
     bq = bqkv.astype(jnp.float32).reshape(1, -1)
     bp = bproj.astype(jnp.float32).reshape(1, -1)
-
-    import numpy as np
-
-    valid = (np.arange(Np) < N).astype("float32")
-    mask = jnp.asarray(valid[:, None] * valid[None, :])
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows = pl.BlockSpec((Np, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -394,32 +400,29 @@ def _fused_mhsa_bwd(num_heads, res, g):
     dtype = x.dtype
 
     if N > 64:
-        # Single-clip-per-program variant (the 431-token vertex stream).
-        import numpy as np
-
-        Np = -(-N // 16) * 16
+        # Single-clip-per-program variant (the 431-token vertex stream):
+        # same padding recipe as the forward (_pad_tokens).
+        Np, mask = _pad_tokens(N)
         if Np != N:
             x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
             g = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
         x2 = x.reshape(B * Np, C)
         g2 = g.astype(dtype).reshape(B * Np, C)
-        valid = (np.arange(Np) < N).astype("float32")
-        mask = jnp.asarray(valid[:, None] * valid[None, :])
-        R, grid, Bp, pad = Np, B, B, 0
+        wqkv_c, bq = wqkv.astype(dtype), \
+            bqkv.astype(jnp.float32).reshape(1, -1)
+        wproj_c = wproj.astype(dtype)
+        R, grid, Bp = Np, B, B
     else:
         G = _pick_group(B, N)
         R = G * N
-        x2, _, _, _, _, Bp, pad = _prep(x, wqkv, bqkv, wproj, bproj, G)
+        x2, wqkv_c, bq, wproj_c, _, Bp, pad = _prep(
+            x, wqkv, bqkv, wproj, bproj, G)
         if pad:
             g = jnp.concatenate(
                 [g, jnp.zeros((pad, N, C), g.dtype)], axis=0)
         g2 = g.astype(dtype).reshape(Bp * N, C)
         mask = _clip_mask(G, N)
         grid = Bp // G
-
-    wqkv_c = wqkv.astype(dtype)
-    wproj_c = wproj.astype(dtype)
-    bq = bqkv.astype(jnp.float32).reshape(1, -1)
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -479,15 +482,23 @@ def _ln_ref(x, scale, bias, eps):
     return y
 
 
-def block_reference(x, params, num_heads, eps=1e-6, post_eps=1e-6):
-    """Pure-XLA reference of the fused block (VJP + test oracle)."""
+def block_reference(x, params, num_heads, eps=1e-6, post_eps=1e-6,
+                    attn_fn=None):
+    """Pure-XLA reference of the fused block (VJP + test oracle).
+
+    ``attn_fn`` swaps the attention implementation while keeping the
+    LN/residual/GELU chain single-sourced — the custom-VJP recompute path
+    passes :func:`fused_mhsa` here so the Pallas backward kernel carries
+    the dominant gradient cost.
+    """
+    if attn_fn is None:
+        attn_fn = functools.partial(mhsa_reference, num_heads=num_heads)
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
      gp, bp) = params
     dtype = x.dtype
     h1 = _ln_ref(x, g1, b1, eps).astype(dtype)
     x1 = (x.astype(jnp.float32)
-          + mhsa_reference(h1, wqkv, bqkv, wproj, bproj,
-                           num_heads).astype(jnp.float32))
+          + attn_fn(h1, wqkv, bqkv, wproj, bproj).astype(jnp.float32))
     h2 = _ln_ref(x1, g2, b2, eps).astype(dtype)
     hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
     hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
@@ -567,25 +578,14 @@ def _fused_block_fwd(x, params, num_heads, eps, post_eps):
 
 
 def _block_bwd_path(x, params, num_heads, eps, post_eps):
-    """Differentiation path for the fused block: identical math to
-    :func:`block_reference`, but attention goes through :func:`fused_mhsa`
-    so its Pallas backward kernel carries the dominant cost. LN/MLP
-    backward stays XLA (fat, MXU-friendly matmuls)."""
-    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
-     gp, bp) = params
-    dtype = x.dtype
-    h1 = _ln_ref(x, g1, b1, eps).astype(dtype)
-    x1 = (x.astype(jnp.float32)
-          + fused_mhsa(h1, wqkv, bqkv, wproj, bproj,
-                       num_heads).astype(jnp.float32))
-    h2 = _ln_ref(x1, g2, b2, eps).astype(dtype)
-    hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
-    hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
-    mo = (hh.astype(dtype) @ w2.astype(dtype)).astype(jnp.float32) + bb2
-    y = x1 + mo
-    if gp is not None:
-        y = _ln_ref(y, gp, bp, post_eps)
-    return y.astype(dtype)
+    """Differentiation path for the fused block: the single-sourced
+    :func:`block_reference` chain with attention routed through
+    :func:`fused_mhsa`, so its Pallas backward kernel carries the dominant
+    cost. LN/MLP backward stays XLA (fat, MXU-friendly matmuls)."""
+    return block_reference(
+        x, params, num_heads, eps, post_eps,
+        attn_fn=lambda h, wq, bq, wp, bp: fused_mhsa(
+            h, wq, bq, wp, bp, num_heads))
 
 
 def _fused_block_bwd(num_heads, eps, post_eps, res, g):

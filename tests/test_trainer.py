@@ -97,6 +97,31 @@ def test_checkpoint_files_and_roundtrip(trained):
     assert len(final["train_log"]) == 2
 
 
+def test_resume_restores_full_state(trained, setup):
+    """Trainer.restore must bring back params AND optimizer state plus the
+    loss/error history — round 1's CLI resume only bumped the epoch and
+    silently retrained from random init."""
+    trainer, state, ckpt_dir = trained
+    art, coarse, jr, train_ds, test_ds = setup
+    model, _ = create_pmce(num_joint=17, art=art, coarsening=coarse,
+                           joint_regressor_h36m=jr, embed_dim=32, depth=1)
+    fresh = Trainer(cfg=_cfg(), model=model,
+                    train_data=MultiDataset([train_ds], seed=0),
+                    test_data=test_ds, faces=art.faces, J_reg_target=jr,
+                    log_fn=lambda *_: None)
+    restored, last_epoch = fresh.restore(
+        os.path.join(ckpt_dir, "final.ckpt"))
+    assert last_epoch == 2
+    assert fresh.loss_history == trainer.loss_history
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Optimizer state (Adam moments) restored, not re-initialized.
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lift_training(setup):
     art, coarse, jr, train_ds, test_ds = setup
     cfg = _cfg()
