@@ -8,11 +8,13 @@ decode → track → 2D pose → features → PMCE → camera fit → render →
 Differences from the reference deployment:
 - person detection is FIRST-PARTY: a center-point detector trained on
   synthetic SMPL renders (pmce_tpu/demo/detector.py, cached after the
-  first run) replaces the reference's external CUDA YOLOv3 — real videos
-  run with no external weights at all. Precomputed detections are still
-  accepted (``--detections dets.npz``), and ``--synthetic`` is a fully
-  self-contained mode (renders a moving body, detects it by background
-  subtraction) used for TPU verification;
+  first run) replaces the reference's external CUDA YOLOv3, so no
+  external DETECTOR weights are needed. Real footage still needs trained
+  PMCE/SPIN/ViTPose weights for meaningful output — without them the CLI
+  refuses unless ``--allow-random-weights`` (structure-only run) is
+  given. Precomputed detections are accepted (``--detections dets.npz``),
+  and ``--synthetic`` is a fully self-contained mode (renders a moving
+  body, detects it by background subtraction) used for TPU verification;
 - real SPIN / ViTPose weights, when available, load via
   ``--spin-weights`` / ``--vitpose-weights`` (tools/import_backbones.py);
 - all model stages are batched jitted calls (see pmce_tpu/demo/pipeline.py).
@@ -93,6 +95,10 @@ def main() -> None:
     p.add_argument("--spin-weights", type=str, default="",
                    help="imported SPIN ResNet-50 checkpoint "
                         "(tools/import_backbones.py spin ...)")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="run real footage with randomly initialized "
+                        "model stages (structure check only — outputs "
+                        "are meaningless)")
     args = p.parse_args()
 
     if args.platform:
@@ -178,6 +184,25 @@ def main() -> None:
               "ViTPose stage (tiny; pass --vitpose huge "
               "--vitpose-weights ... for real weights)")
         args.vitpose = "tiny"
+
+    # Real footage with randomly initialized stages produces meaningless
+    # meshes; refuse unless explicitly opted in (the reference hard-errors
+    # on missing detections — we hard-error on missing weights instead).
+    if not args.synthetic:
+        random_stages = [
+            name for name, ok in (
+                ("PMCE (--weights)", bool(args.weights)),
+                ("SPIN features (--spin-weights)", bool(args.spin_weights)),
+                ("ViTPose 2D pose (--vitpose-weights)",
+                 args.vitpose == "off" or bool(args.vitpose_weights)),
+            ) if not ok
+        ]
+        if random_stages and not args.allow_random_weights:
+            p.error(
+                "real-video run would use RANDOM weights for: "
+                + "; ".join(random_stages)
+                + ". Provide the listed weight flags, or pass "
+                  "--allow-random-weights for a structure-only run.")
 
     pose2d_apply = None
     if args.vitpose != "off":

@@ -155,7 +155,11 @@ class Attention(nn.Module):
         wproj, bproj = DenseParams(C, C, True, name="proj")()
         dt = self.dtype or x.dtype
 
-        if self.fused and self.attn_drop == 0.0 and self.proj_drop == 0.0:
+        if self.fused and (deterministic
+                           or (self.attn_drop == 0.0
+                               and self.proj_drop == 0.0)):
+            # Dropout is inactive (inference, or zero rates): identical
+            # math to the modular path, so the kernel applies.
             from pmce_tpu.ops.fused_attention import fused_mhsa
 
             bq = bqkv if bqkv is not None else jnp.zeros((3 * C,), jnp.float32)
@@ -232,14 +236,41 @@ class Block(nn.Module):
                 self.norm_eps).astype(x.dtype)
 
         if self.fused:
-            # Training fallback (stochastic depth active): modular math on
-            # the SAME parameter arrays, fused attention kernel inside.
+            # Training fallback (stochastic depth / dropout active):
+            # modular math on the SAME parameter arrays, fused attention
+            # kernel inside when the attention math is deterministic.
             from pmce_tpu.ops.fused_attention import fused_mhsa
 
             dt = self.dtype or x.dtype
             h = _manual_layer_norm(x, g1, b1, self.norm_eps, dt)
-            h = fused_mhsa(h.astype(dt), wqkv, bqkv, wproj, bproj,
-                           self.num_heads)
+            if self.attn_drop == 0.0:
+                h = fused_mhsa(h.astype(dt), wqkv, bqkv, wproj, bproj,
+                               self.num_heads)
+            else:
+                # Probability dropout happens INSIDE attention — no
+                # kernel path; run the XLA attention with dropout, same
+                # params (matches the modular Attention module exactly).
+                h = h.astype(dt)
+                Bq, N, _ = h.shape
+                dh = self.dim // self.num_heads
+                qkv = h @ wqkv.astype(dt) + bqkv.astype(dt)
+                qkv = qkv.reshape(Bq, N, 3, self.num_heads, dh)
+                qkv = qkv.transpose(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                attn = jnp.einsum(
+                    "bhnd,bhmd->bhnm", q, k,
+                    precision=_attn_precision(self.dtype)) * dh ** -0.5
+                attn = jax.nn.softmax(attn, axis=-1)
+                attn = nn.Dropout(self.attn_drop, deterministic=deterministic,
+                                  name="attn_drop1")(attn)
+                h = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                               precision=_attn_precision(self.dtype))
+                h = h.transpose(0, 2, 1, 3).reshape(Bq, N, self.dim)
+                h = h @ wproj.astype(dt) + bproj.astype(dt)
+            # The modular Attention applies proj dropout (rate self.drop)
+            # after the output projection.
+            h = nn.Dropout(self.drop, deterministic=deterministic,
+                           name="proj_drop1")(h)
             x = x + DropPath(self.drop_path,
                              name="drop_path1")(h.astype(x.dtype),
                                                 deterministic)

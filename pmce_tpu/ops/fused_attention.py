@@ -51,7 +51,10 @@ def _pick_group(num_clips: int, tokens: int) -> int:
     g = step
     while g * tokens < 128:
         g += step
-    return g
+    # Never group more clips than the batch has (rounded up to alignment):
+    # padding a tiny batch to a full group would compute G× redundant rows.
+    needed = -(-num_clips // step) * step
+    return min(g, max(needed, step))
 
 
 def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):

@@ -11,9 +11,12 @@ TPU-native runtime:
   CONTIGUOUS along it: batch sharding then keeps every shard on its own
   host's ICI-attached chips, gradient psums ride ICI within a host and
   cross DCN only once per reduction tree level;
-- ``shard_host_batch()`` builds a global device array from each process's
-  LOCAL batch via ``jax.make_array_from_process_local_data`` — hosts load
-  disjoint data shards, nothing is gathered through host 0.
+- ``put_global_batch()`` (used by the runtime through
+  ``parallel.prefetch``) turns each process's view of a batch into global
+  sharded arrays: every host contributes only the rows its own devices
+  hold — nothing is gathered through host 0;
+- ``shard_host_batch()`` / ``host_local_slice()`` are the disjoint-
+  loading variants for data pipelines that read per-host shards.
 
 Single-process sessions (tests, the 1-chip dev harness) work unchanged:
 ``initialize()`` is a no-op when no peers are configured, and
@@ -38,8 +41,9 @@ def initialize(coordinator_address: str | None = None,
     unconditionally: with no arguments and no cluster environment it
     remains single-process.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # IMPORTANT: decide from the ENVIRONMENT only — any jax call (even
+    # jax.process_count()) initializes the XLA backend, after which
+    # jax.distributed.initialize() unconditionally raises.
     if (coordinator_address is None and num_processes is None
             and process_id is None):
         import os
@@ -60,6 +64,8 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes, process_id=process_id)
         return True
     except Exception as e:  # pragma: no cover - environment dependent
+        if "already initialized" in str(e).lower():
+            return True  # idempotent double-call
         raise RuntimeError(f"jax.distributed.initialize failed: {e}") from e
 
 
@@ -92,9 +98,41 @@ def shard_host_batch(mesh: Mesh, batch):
         batch)
 
 
+def put_global_batch(sharding, batch):
+    """Host batch pytree → global sharded arrays, multi-host safe.
+
+    This is the path the runtime actually uses (via
+    ``parallel.prefetch.prefetch_to_device``): under one process it is a
+    plain async ``device_put``; under many, each process contributes the
+    rows its own devices own (``global_mesh`` keeps hosts contiguous on
+    the ``data`` axis, so host i owns batch rows [i·B/n, (i+1)·B/n)) via
+    ``make_array_from_process_local_data`` — nothing is gathered through
+    host 0. Hosts that already load ONLY their shard should call
+    :func:`shard_host_batch` with the local rows instead.
+    """
+    n = jax.process_count()
+    if n == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+    i = jax.process_index()
+
+    def one(x):
+        per = x.shape[0] // n
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x[i * per:(i + 1) * per]))
+
+    return jax.tree_util.tree_map(one, batch)
+
+
 def host_local_slice(global_len: int) -> slice:
-    """The contiguous index range this process should load (data loading
-    convention: host i takes rows [i*per, (i+1)*per))."""
-    per = global_len // jax.process_count()
-    start = jax.process_index() * per
-    return slice(start, start + per)
+    """The contiguous index range this process should load.
+
+    The remainder ``global_len % process_count`` is spread over the first
+    hosts (host i gets ``per + 1`` rows while i < remainder), so every row
+    belongs to exactly one host — a floor split would silently drop the
+    tail rows from training AND evaluation."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per, rem = divmod(global_len, n)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))

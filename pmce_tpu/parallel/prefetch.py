@@ -22,8 +22,12 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
 
     def put(batch):
         if sharding is not None:
-            queue.append(jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch))
+            # Multi-host safe: each process contributes only the rows its
+            # devices own (parallel.distributed.put_global_batch); on a
+            # single process this is a plain async device_put.
+            from pmce_tpu.parallel.distributed import put_global_batch
+
+            queue.append(put_global_batch(sharding, batch))
         else:
             queue.append(jax.tree_util.tree_map(jax.device_put, batch))
 

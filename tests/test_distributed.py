@@ -11,6 +11,7 @@ from pmce_tpu.parallel import (
     initialize,
     shard_host_batch,
 )
+from pmce_tpu.parallel.distributed import put_global_batch
 
 
 def test_initialize_noop_single_host():
@@ -39,3 +40,31 @@ def test_shard_host_batch_places_batch_axis():
 
 def test_host_local_slice_single_process():
     assert host_local_slice(64) == slice(0, 64)
+
+
+def test_host_local_slice_covers_every_row(monkeypatch):
+    """Uneven splits spread the remainder: every global row belongs to
+    exactly one host (a floor split silently dropped the tail)."""
+    import pmce_tpu.parallel.distributed as dist
+
+    for n, total in ((3, 100), (8, 35), (4, 4), (5, 3)):
+        monkeypatch.setattr(dist.jax, "process_count", lambda n=n: n)
+        rows = []
+        for i in range(n):
+            monkeypatch.setattr(dist.jax, "process_index", lambda i=i: i)
+            s = host_local_slice(total)
+            rows.extend(range(s.start, s.stop))
+        assert rows == list(range(total)), (n, total, rows)
+
+
+def test_put_global_batch_matches_device_put():
+    """The runtime batch-assembly path (used by prefetch_to_device):
+    single-process it must equal a plain sharded device_put."""
+    from pmce_tpu.parallel.mesh import batch_sharding
+
+    mesh = global_mesh()
+    sh = batch_sharding(mesh)
+    batch = {"x": np.arange(48, dtype=np.float32).reshape(16, 3)}
+    out = put_global_batch(sh, batch)
+    assert out["x"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])

@@ -150,6 +150,40 @@ def test_fused_block_gradients():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_attention_with_dropout_rates_at_inference():
+    """Nonzero CONFIGURED dropout must not disable the fused kernel at
+    inference (deterministic=True makes the math identical), and the
+    training path with active dropout must still run and differentiate."""
+    from pmce_tpu.models.layers import Block
+
+    rng = np.random.default_rng(8)
+    B, N, C, H = 6, 19, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    plain = Block(C, H, mlp_ratio=2.0, drop=0.1, attn_drop=0.1,
+                  drop_path=0.1, fused=False)
+    fused = Block(C, H, mlp_ratio=2.0, drop=0.1, attn_drop=0.1,
+                  drop_path=0.1, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+
+    # Inference: rates configured but inactive → identical math.
+    y0 = plain.apply(params, x, deterministic=True)
+    y1 = fused.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+
+    # Training: attention-probability and proj dropout are ACTIVE on the
+    # fallback path (round-2 review: they were silently dropped).
+    rngs = {"dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2)}
+    yt = fused.apply(params, x, deterministic=False, rngs=rngs)
+    assert np.isfinite(np.asarray(yt)).all()
+    assert not np.allclose(np.asarray(yt), np.asarray(y1))  # dropout acted
+    g = jax.grad(lambda p: jnp.sum(fused.apply(
+        p, x, deterministic=False, rngs=rngs) ** 2))(params)
+    assert all(np.isfinite(np.asarray(le)).all()
+               for le in jax.tree.leaves(g))
+
+
 def test_fused_lifter_matches_modular():
     """Full PoseLifter parity: fused kernels vs modular XLA path."""
     from pmce_tpu.models.pose_lifter import PoseLifter
