@@ -102,13 +102,17 @@ def convert_coco(annot_path: str, art: SMPLArtifacts,
     rng = np.random.default_rng(seed)
     dets = jimg_coco.copy().astype(np.float32)
     good = np.zeros(n, bool)
+    kps = np.stack(rows["kp"])
     for i in range(n):
         tight = get_bbox(jimg_coco[i])
         area = float(tight[2] * tight[3])
+        # Validity 1 on every joint (the reference passes xy1,
+        # data/COCO/dataset.py:321): validity-0 joints are returned
+        # UNTOUCHED by synthesize_pose, which made this a silent no-op.
         kp3 = np.concatenate(
-            [jimg_coco[i, :17], np.zeros((17, 1), np.float32)], axis=1)
+            [jimg_coco[i, :17], np.ones((17, 1), np.float32)], axis=1)
         dets[i, :17] = synthesize_pose(kp3, area, rng)[:, :2]
-        err = crop64_fit_error(tight, np.stack(rows["kp"])[i],
+        err = crop64_fit_error(tight, kps[i],
                                jimg_coco[i, :17], rows["kpvalid"][i])
         good[i] = err <= FITTING_THR_PX
 

@@ -30,6 +30,7 @@ import numpy as np
 from pmce_tpu.data.etl.common import (
     CocoIndex,
     load_json,
+    project_np,
     smpl_world_to_cam_mm,
 )
 from pmce_tpu.data.packed import SequenceData
@@ -43,12 +44,6 @@ SKIP_SEQ_PREFIX = "s_11_act_02_subact_02_ca_0"
 
 def _world2cam(x, R, t):
     return np.einsum("ij,nj->ni", R, x) + t
-
-
-def _cam2pixel(x, f, c):
-    z = x[:, 2]
-    return np.stack([x[:, 0] / z * f[0] + c[0],
-                     x[:, 1] / z * f[1] + c[1], z], axis=1)
 
 
 def convert_h36m(data_path: str, split: str, art: SMPLArtifacts,
@@ -148,13 +143,13 @@ def convert_h36m(data_path: str, split: str, art: SMPLArtifacts,
         jcam_h36m = _world2cam(jw_h36m, R, t)
         if input_joint_set == "human36":
             jcam = jcam_h36m
-            jimg = _cam2pixel(jcam, f, c)[:, :2]
+            jimg = project_np(jcam, f, c)
             det = cpn_det[img_name][:, :2]
         else:
             jcam = np.asarray(
                 joints[key[0]][key[1]][key[2]][str(cam_idx)][key[3]],
                 np.float32)
-            jimg = _cam2pixel(jcam, f, c)[:, :2]
+            jimg = project_np(jcam, f, c)
             det = np.asarray(
                 coco_det[key[0]][key[1]][key[2]][str(cam_idx)][key[3]],
                 np.float32)[:, :2]

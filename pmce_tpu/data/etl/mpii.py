@@ -88,8 +88,10 @@ def convert_mpii(annot_path: str, art: SMPLArtifacts,
     for i in range(n):
         tight = get_bbox(jimg_coco[i])
         area = float(tight[2] * tight[3])
+        # Validity 1 (reference passes xy1, data/MPII/dataset.py:295);
+        # validity-0 joints pass through synthesize_pose untouched.
         kp3 = np.concatenate(
-            [jimg_coco[i, :17], np.zeros((17, 1), np.float32)], axis=1)
+            [jimg_coco[i, :17], np.ones((17, 1), np.float32)], axis=1)
         dets[i, :17] = synthesize_pose(kp3, area, rng)[:, :2]
 
     return SequenceData(

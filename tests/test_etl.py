@@ -226,6 +226,10 @@ class TestStaticImages:
             np.testing.assert_array_equal(data.features[i], fr["feat"])
             # SMPLify gate: planted good/bad fits must split validities.
             assert data.mesh_valid[i] == (1.0 if fr["good"] else 0.0)
+        # Detector-noise synthesis must actually perturb the GT joints
+        # (a zero validity column once made it a silent no-op).
+        assert np.abs(data.pose2d_det[:, :17]
+                      - data.joint_img[:, :17]).max() > 0.0
         path = tmp_path / "COCO_train_packed.npz"
         save_packed(data, path, jr_h36m=jr_h36m, jr_coco=jr_coco)
         ds = MSCOCO.from_packed(path, seqlen=4)
@@ -243,6 +247,8 @@ class TestStaticImages:
         for i, fr in enumerate(truth["frames"]):
             np.testing.assert_array_equal(data.features[i], fr["feat"])
         assert data.mesh_valid is None     # MPII has no fitting gate
+        assert np.abs(data.pose2d_det[:, :17]
+                      - data.joint_img[:, :17]).max() > 0.0
         path = tmp_path / "MPII_train_packed.npz"
         save_packed(data, path, jr_h36m=jr_h36m, jr_coco=jr_coco)
         ds = MPII.from_packed(path, seqlen=4)
