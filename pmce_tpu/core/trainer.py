@@ -266,7 +266,11 @@ class Trainer:
                     if self.mesh is not None else None)
         rng = jax.random.fold_in(self._rng, epoch)
 
-        running = 0.0
+        # The loss accumulates as a LAZY device-side scalar — a float()
+        # per step is a host sync that drains the dispatch pipeline (the
+        # same fix the eval loop got in round 2); the host syncs only at
+        # the metric-logging cadence (TRAIN.print_freq) and at epoch end.
+        running = None
         n = 0
         t0 = time.time()
         for batch in prefetch_to_device(
@@ -277,16 +281,17 @@ class Trainer:
             else:
                 state, loss = self.train_step(state, batch, rng)
                 terms = None
-            running += float(loss)
+            running = loss if running is None else running + loss
             n += 1
-            if self.metric_logger is not None:
+            if (self.metric_logger is not None
+                    and n % max(tcfg.print_freq, 1) == 0):
                 rec = {"train/loss": float(loss)}
                 if terms is not None:
                     rec.update({f"train/{k}_loss": float(v)
                                 for k, v in terms.items()})
                 self.metric_logger.log(rec, step=int(state.step))
-        dt = time.time() - t0
-        avg = running / max(n, 1)
+        avg = float(running) / n if n else 0.0   # one sync, INSIDE the
+        dt = time.time() - t0                    # timed region (honest)
         self.loss_history.append(avg)
         self.log_fn(
             f"Epoch {epoch}: loss {avg:.4f} "
