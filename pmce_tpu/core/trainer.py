@@ -253,6 +253,24 @@ class Trainer:
         return state
 
     # --------------------------------------------------------------- train
+    def _wire_cast(self, iterator):
+        """Under the bf16 compute policy, ship image features to the
+        device in bf16: the model's first Dense casts its input to bf16
+        anyway (flax promote_dtype), so this is bit-identical compute for
+        HALF the H2D bytes of the batch's dominant tensor. Coordinate
+        tensors (pose2d, GT meshes, metrics targets) stay f32."""
+        if getattr(self.model, "dtype", None) != jnp.bfloat16:
+            yield from iterator
+            return
+        import ml_dtypes
+
+        for batch in iterator:
+            batch = dict(batch)
+            if "img_feature" in batch:
+                batch["img_feature"] = np.asarray(
+                    batch["img_feature"]).astype(ml_dtypes.bfloat16)
+            yield batch
+
     def _batch_iter(self, epoch: int):
         tcfg = self.cfg.TRAIN
         for _ in range(self.steps_per_epoch):
@@ -274,7 +292,8 @@ class Trainer:
         n = 0
         t0 = time.time()
         for batch in prefetch_to_device(
-                self._batch_iter(epoch), sharding=sharding):
+                self._wire_cast(self._batch_iter(epoch)),
+                sharding=sharding):
             if self.is_mesh_model:
                 state, loss, terms = self.train_step(
                     state, batch, rng, edge_gate)
@@ -314,8 +333,9 @@ class Trainer:
                     if self.mesh is not None else None)
         js = ss = cnt = None
         results = []
-        iterator = epoch_iterator(self.test_data, tcfg.batch_size,
-                                  shuffle=False, seed=0, drop_last=False)
+        iterator = self._wire_cast(
+            epoch_iterator(self.test_data, tcfg.batch_size,
+                           shuffle=False, seed=0, drop_last=False))
         for batch_dev in prefetch_to_device(iterator, sharding=sharding):
             out = self.eval_step(state.params, batch_dev)
             if js is None:
