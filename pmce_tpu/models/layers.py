@@ -211,10 +211,12 @@ class Block(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  post_norm: tuple | None = None) -> jax.Array:
         hidden = int(self.dim * self.mlp_ratio)
+        # Stochastic depth does NOT force the modular path: it enters the
+        # kernel as per-clip residual-branch masks. Only element-level
+        # dropout (inside attention / the MLP) needs the fallback.
         fully_fused = self.fused and (
             deterministic
-            or (self.drop == 0.0 and self.attn_drop == 0.0
-                and self.drop_path == 0.0))
+            or (self.drop == 0.0 and self.attn_drop == 0.0))
         if self.fused:
             # Declare params through the holders in BOTH fused branches so
             # init produces one consistent tree regardless of determinism.
@@ -231,9 +233,21 @@ class Block(nn.Module):
             dt = self.dtype or x.dtype
             params = (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
                       w1, bb1, w2, bb2, gp, bp)
+            masks = None
+            if not deterministic and self.drop_path > 0.0:
+                # DropPath as in-kernel branch masks: per-sample
+                # {0, 1/keep}, independent draws per residual branch.
+                keep = 1.0 - self.drop_path
+                shape = (x.shape[0], 1, 1)
+                m1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                m2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                masks = (m1.astype(jnp.float32) / keep,
+                         m2.astype(jnp.float32) / keep)
             return fused_transformer_block(
                 x.astype(dt), params, self.num_heads, self.norm_eps,
-                self.norm_eps).astype(x.dtype)
+                self.norm_eps, masks).astype(x.dtype)
 
         if self.fused:
             # Training fallback (stochastic depth / dropout active):

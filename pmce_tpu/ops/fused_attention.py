@@ -120,21 +120,24 @@ def _ln_f32(xf, scale, bias, eps):
 
 def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
                   bproj_ref, g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref,
-                  bb2_ref, gp_ref, bp_ref, mask_ref, out_ref,
-                  *, num_heads: int, eps: float, post_norm: bool,
+                  bb2_ref, gp_ref, bp_ref, mask_ref, m1_ref, m2_ref,
+                  out_ref, *, num_heads: int, eps: float, post_norm: bool,
                   post_eps: float):
     """Whole pre-norm transformer block in one VMEM pass:
 
-        x1 = x + MHSA(LN1(x));  y = x1 + MLP(LN2(x1));  [y = PostLN(y)]
+        x1 = x + m1·MHSA(LN1(x));  y = x1 + m2·MLP(LN2(x1));  [PostLN(y)]
 
     MLP is Dense → exact (erf) GELU → Dense, matching models/layers.Mlp.
+    ``m1``/``m2`` are per-ROW residual-branch scales ([R, 1]): all-ones
+    normally, {0, 1/keep} per clip under stochastic depth — droppath
+    training runs fully fused instead of falling back to modular XLA.
     """
     x = x_ref[:]
     xf = x.astype(jnp.float32)
     h1 = _ln_f32(xf, g1_ref[:], b1_ref[:], eps).astype(x.dtype)
     a = _attn_core(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:], bproj_ref[:],
                    mask_ref[:], num_heads)
-    x1 = xf + a                                          # f32 [R, C]
+    x1 = xf + a * m1_ref[:]                              # f32 [R, C]
 
     h2 = _ln_f32(x1, g2_ref[:], b2_ref[:], eps).astype(x.dtype)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
@@ -142,7 +145,7 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))  # exact GELU
     mo = jnp.dot(hh.astype(x.dtype), w2_ref[:],
                  preferred_element_type=jnp.float32) + bb2_ref[:]
-    y = x1 + mo
+    y = x1 + mo * m2_ref[:]
     if post_norm:
         y = _ln_f32(y, gp_ref[:], bp_ref[:], post_eps)
     out_ref[:] = y.astype(out_ref.dtype)
@@ -486,34 +489,37 @@ def _ln_ref(x, scale, bias, eps):
 
 
 def block_reference(x, params, num_heads, eps=1e-6, post_eps=1e-6,
-                    attn_fn=None):
+                    attn_fn=None, branch_masks=None):
     """Pure-XLA reference of the fused block (VJP + test oracle).
 
     ``attn_fn`` swaps the attention implementation while keeping the
     LN/residual/GELU chain single-sourced — the custom-VJP recompute path
     passes :func:`fused_mhsa` here so the Pallas backward kernel carries
-    the dominant gradient cost.
+    the dominant gradient cost. ``branch_masks`` = (m1, m2) per-sample
+    [B, 1, 1] residual-branch scales (stochastic depth), or None.
     """
     if attn_fn is None:
         attn_fn = functools.partial(mhsa_reference, num_heads=num_heads)
+    m1, m2 = branch_masks if branch_masks is not None else (1.0, 1.0)
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
      gp, bp) = params
     dtype = x.dtype
     h1 = _ln_ref(x, g1, b1, eps).astype(dtype)
     x1 = (x.astype(jnp.float32)
-          + attn_fn(h1, wqkv, bqkv, wproj, bproj).astype(jnp.float32))
+          + attn_fn(h1, wqkv, bqkv, wproj, bproj).astype(jnp.float32) * m1)
     h2 = _ln_ref(x1, g2, b2, eps).astype(dtype)
     hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
     hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
     mo = (hh.astype(dtype) @ w2.astype(dtype)).astype(jnp.float32) + bb2
-    y = x1 + mo
+    y = x1 + mo * m2
     if gp is not None:
         y = _ln_ref(y, gp, bp, post_eps)
     return y.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_transformer_block(x, params, num_heads, eps=1e-6, post_eps=1e-6):
+def fused_transformer_block(x, params, num_heads, eps=1e-6, post_eps=1e-6,
+                            branch_masks=None):
     """Fused pre-norm transformer block for short token sequences.
 
     Args:
@@ -523,18 +529,32 @@ def fused_transformer_block(x, params, num_heads, eps=1e-6, post_eps=1e-6):
         b_fc1 [hid], w_fc2 [hid,C], b_fc2 [C], post_scale|None, post_bias).
         A ``None`` post_scale skips the trailing shared LayerNorm.
       num_heads / eps / post_eps: static config.
+      branch_masks: None, or (m1, m2) per-sample [B, 1, 1] residual-branch
+        scales ({0, 1/keep} stochastic depth) applied to the attention and
+        MLP branches respectively — droppath training stays fully fused.
 
     Returns:
       [B, N, C], same dtype as x.
     """
-    return _fused_block_impl(x, params, num_heads, eps, post_eps)
+    return _fused_block_impl(x, params, num_heads, eps, post_eps,
+                             branch_masks)
 
 
-def _fused_block_impl(x, params, num_heads, eps, post_eps):
+def _branch_mask_rows(m, B, N, Bp):
+    """[B, 1, 1] per-clip scale → [Bp·N, 1] per-row f32 (pad clips = 1)."""
+    rows = jnp.repeat(m.astype(jnp.float32).reshape(B, 1), N, axis=0)
+    if Bp != B:
+        rows = jnp.concatenate(
+            [rows, jnp.ones(((Bp - B) * N, 1), jnp.float32)], axis=0)
+    return rows
+
+
+def _fused_block_impl(x, params, num_heads, eps, post_eps, branch_masks):
     B, N, C = x.shape
     dtype = x.dtype
     if N > 64:
-        return block_reference(x, params, num_heads, eps, post_eps)
+        return block_reference(x, params, num_heads, eps, post_eps,
+                               branch_masks=branch_masks)
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
      gp, bp) = params
     post = gp is not None
@@ -543,6 +563,13 @@ def _fused_block_impl(x, params, num_heads, eps, post_eps):
     x2, wqkv, bqkv, wproj, bproj, Bp, pad = _prep(
         x, wqkv, bqkv, wproj, bproj, G)
     hid = w1.shape[1]
+
+    if branch_masks is None:
+        ones = jnp.ones((Bp * N, 1), jnp.float32)
+        m1r = m2r = ones
+    else:
+        m1r = _branch_mask_rows(branch_masks[0], B, N, Bp)
+        m2r = _branch_mask_rows(branch_masks[1], B, N, Bp)
 
     def v(a):
         return a.astype(jnp.float32).reshape(1, -1)
@@ -553,6 +580,7 @@ def _fused_block_impl(x, params, num_heads, eps, post_eps):
 
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mrows = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dh = C // num_heads
     flops = Bp // G * (2 * R * C * 3 * C + num_heads * 4 * R * R * dh
                        + 2 * R * C * C + 4 * R * C * hid)
@@ -560,7 +588,7 @@ def _fused_block_impl(x, params, num_heads, eps, post_eps):
         functools.partial(_block_kernel, num_heads=num_heads, eps=eps,
                           post_norm=post, post_eps=post_eps),
         grid=(Bp // G,),
-        in_specs=[rows] + [full] * 15,
+        in_specs=[rows] + [full] * 15 + [mrows, mrows],
         out_specs=rows,
         out_shape=jax.ShapeDtypeStruct((Bp * N, C), dtype),
         cost_estimate=pl.CostEstimate(
@@ -571,16 +599,18 @@ def _fused_block_impl(x, params, num_heads, eps, post_eps):
         interpret=jax.default_backend() != "tpu",
     )(x2, v(g1), v(b1), wqkv, bqkv, wproj, bproj, v(g2), v(b2),
       w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2), v(gp), v(bp),
-      _clip_mask(G, N))
+      _clip_mask(G, N), m1r, m2r)
     out = out.reshape(Bp, N, C)
     return out[:B] if pad else out
 
 
-def _fused_block_fwd(x, params, num_heads, eps, post_eps):
-    return _fused_block_impl(x, params, num_heads, eps, post_eps), (x, params)
+def _fused_block_fwd(x, params, num_heads, eps, post_eps, branch_masks):
+    return (_fused_block_impl(x, params, num_heads, eps, post_eps,
+                              branch_masks),
+            (x, params, branch_masks))
 
 
-def _block_bwd_path(x, params, num_heads, eps, post_eps):
+def _block_bwd_path(x, params, num_heads, eps, post_eps, branch_masks):
     """Differentiation path for the fused block: the single-sourced
     :func:`block_reference` chain with attention routed through
     :func:`fused_mhsa`, so its Pallas backward kernel carries the dominant
@@ -588,14 +618,15 @@ def _block_bwd_path(x, params, num_heads, eps, post_eps):
     return block_reference(
         x, params, num_heads, eps, post_eps,
         attn_fn=lambda h, wq, bq, wp, bp: fused_mhsa(
-            h, wq, bq, wp, bp, num_heads))
+            h, wq, bq, wp, bp, num_heads),
+        branch_masks=branch_masks)
 
 
 def _fused_block_bwd(num_heads, eps, post_eps, res, g):
-    x, params = res
+    x, params, branch_masks = res
     _, vjp = jax.vjp(
-        lambda x, p: _block_bwd_path(x, p, num_heads, eps, post_eps),
-        x, params)
+        lambda x, p, m: _block_bwd_path(x, p, num_heads, eps, post_eps, m),
+        x, params, branch_masks)
     return vjp(g)
 
 

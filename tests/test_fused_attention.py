@@ -150,6 +150,45 @@ def test_fused_block_gradients():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_block_branch_masks():
+    """Stochastic-depth branch masks run INSIDE the kernel: the fused
+    block with (m1, m2) must match the reference chain with the same
+    masks, values and gradients."""
+    from pmce_tpu.ops.fused_attention import (
+        block_reference,
+        fused_transformer_block,
+    )
+
+    rng = np.random.default_rng(9)
+    B, N, C, H = 10, 19, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    def w(*s):
+        return jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
+
+    params = (w(C), w(C), w(C, 3 * C), w(3 * C), w(C, C), w(C), w(C), w(C),
+              w(C, 2 * C), w(2 * C), w(2 * C, C), w(C), None, None)
+    keep = 0.8
+    m = tuple(
+        jnp.asarray((rng.random((B, 1, 1)) < keep) / keep, jnp.float32)
+        for _ in range(2))
+
+    y_kernel = fused_transformer_block(x, params, H, branch_masks=m)
+    y_ref = block_reference(x, params, H, branch_masks=m)
+    np.testing.assert_allclose(np.asarray(y_kernel), np.asarray(y_ref),
+                               rtol=3e-5, atol=3e-5)
+    # Some branches actually dropped (masks non-trivial for this seed).
+    assert any(float(mm.min()) == 0.0 for mm in m)
+
+    g0 = jax.grad(lambda p: jnp.sum(block_reference(
+        x, p + (None, None), H, branch_masks=m) ** 2))(params[:12])
+    g1 = jax.grad(lambda p: jnp.sum(fused_transformer_block(
+        x, p + (None, None), H, branch_masks=m) ** 2))(params[:12])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_fused_attention_with_dropout_rates_at_inference():
     """Nonzero CONFIGURED dropout must not disable the fused kernel at
     inference (deterministic=True makes the math identical), and the
