@@ -147,9 +147,12 @@ def main() -> None:
             detector = ensure_cached_detector(art)
             dets = detector.detect_video(frames)
             kps = None
-        rng = np.random.default_rng(1)
-        jr17 = rng.random((17, art.num_verts)).astype(np.float32)
-        jr17 /= jr17.sum(1, keepdims=True)
+        # COCO-17-ordered regressor: the camera fit pairs mesh-regressed
+        # joints with ViTPose/COCO 2D keypoints, so both sides must share
+        # the COCO ordering (reference fits joint_regressor_coco).
+        from pmce_tpu.smpl.joints import coco17_regressor
+
+        jr17 = coco17_regressor(art.J_regressor)
 
     # ---- models ----
     model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse,

@@ -51,8 +51,13 @@ def fit_cam_closed_form(pose3d: jax.Array, target2d: jax.Array,
     tc = t - tm
     a = (jnp.sum(xc * tc, axis=(-2, -1))
          / jnp.maximum(jnp.sum(xc * xc, axis=(-2, -1)), 1e-12))
+    # Degenerate fits (collapsed keypoints, anti-correlated joints) can
+    # yield a ≤ 0; clamp the scale to a small POSITIVE floor so tx/ty
+    # stay bounded instead of exploding to ~1e12 and overflowing the
+    # rasterizer's pixel ints downstream.
+    a = jnp.maximum(a, 1e-3)
     b = tm[..., 0, :] - a[..., None] * xm[..., 0, :]
-    tx_ty = b / jnp.maximum(a[..., None], 1e-12)
+    tx_ty = b / a[..., None]
     return jnp.concatenate([a[..., None], tx_ty], axis=-1)
 
 

@@ -275,7 +275,11 @@ def ensure_cached_detector(art, cache_dir: str | None = None,
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
         ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, "person_detector.pkl")
+    # Cache key carries the architecture/training hyperparameters: loading
+    # a checkpoint trained at another width would shape-mismatch at apply.
+    tag = "_".join(f"{k}{v}" for k, v in sorted(train_kw.items()))
+    path = os.path.join(cache_dir,
+                        f"person_detector{('_' + tag) if tag else ''}.pkl")
     if os.path.isfile(path):
         with open(path, "rb") as f:
             params = pickle.load(f)

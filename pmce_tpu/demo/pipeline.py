@@ -51,7 +51,14 @@ from pmce_tpu.ops.coords import normalize_screen_coordinates
 def demo_window_list(n: int, seqlen: int = 16) -> list:
     """The reference's sliding windows with edge-padded singletons
     (/root/reference/lib/utils/_dataset_demo.py:91-95): every one of the n
-    frames gets exactly one window whose mid frame is that frame."""
+    frames gets exactly one window whose mid frame is that frame.
+
+    Tracklets SHORTER than one window (the reference never sees these —
+    its MIN_NUM_FRAMES gate is 25, ours clamps to the clip length) fall
+    back to one singleton window per frame, keeping the one-window-per-
+    frame invariant the camera fit depends on."""
+    if n < seqlen:
+        return [[i, i] for i in range(n)]
     seq = [[i, i + seqlen - 1] for i in range(n - seqlen + 1)]
     for i in range(1, seqlen // 2 + 1):
         seq.insert(0, [seqlen // 2 - i, seqlen // 2 - i])
@@ -83,7 +90,10 @@ class DemoModels:
     feature_apply: callable       # crops [N,3,224,224] → [N,2048]
     pose2d_apply: callable | None  # crops [N,3,256,192] → heatmaps; None =
                                    # use detector keypoints directly
-    joint_regressor: np.ndarray   # [17, V] (h36m) for the camera fit
+    joint_regressor: np.ndarray   # [17, V] for the camera fit — MUST be
+                                  # in the same joint order as the 2D
+                                  # keypoints (COCO-17; smpl/joints.py
+                                  # coco17_regressor)
     faces: np.ndarray
 
 
@@ -119,9 +129,14 @@ class DemoPipeline:
         only the decoded keypoints come back to the host.
         """
         ch, cw = self.cfg.pose_crop_hw
-        # Non-square pose crops: widen the box to the 256:192 aspect.
+        # Non-square pose crops: grow the square box to the 256:192
+        # aspect, RECENTERED about the person (mmpose's xywh2cs grows
+        # about the box center; growing downward-only put the subject in
+        # the top 3/4 of the crop).
         boxes = crop_boxes.copy()
-        boxes[:, 3] = boxes[:, 2] * ch / cw  # h from square w
+        new_h = boxes[:, 2] * ch / cw
+        boxes[:, 1] -= (new_h - boxes[:, 3]) / 2.0
+        boxes[:, 3] = new_h
         pad_n = len(frames_dev) - len(boxes)
         boxes_pad = (np.concatenate(
             [boxes, np.repeat(boxes[-1:], pad_n, axis=0)])
@@ -130,11 +145,13 @@ class DemoPipeline:
         kps = []
         B = self.cfg.feature_batch
         for i in range(0, len(frames_dev), B):
+            # Box width → cw columns, height → ch rows: the SAME scales
+            # heatmap_to_image_coords inverts (a square 256 crop sliced
+            # to 192 columns skewed every x-coordinate by 4/3).
             crops = crop_resize_normalize(
                 jax.lax.dynamic_slice_in_dim(frames_dev, i, B),
                 jax.lax.dynamic_slice_in_dim(boxes_dev, i, B),
-                out_size=256)
-            crops = crops[:, :, :, :192]  # 256×192 top-down crop
+                out_size=(ch, cw))
             hm = self.m.pose2d_apply(crops)
             k_hm, scores = decode_heatmaps(hm)
             k_img = heatmap_to_image_coords(
@@ -181,6 +198,11 @@ class DemoPipeline:
 
         # --- 2D keypoints (COCO-17 + pelvis/neck → 19) ---
         if keypoints is None:
+            if self.m.pose2d_apply is None:
+                raise ValueError(
+                    "no keypoints supplied and DemoModels.pose2d_apply is "
+                    "None — pass keypoints_per_frame or configure a 2D "
+                    "pose model")
             keypoints = self.keypoints_for_crops(frames_dev, crop_boxes, n)
         kp19 = add_pelvis_and_neck(keypoints[..., :2], lhip=11, rhip=12,
                                    lshoulder=5, rshoulder=6)
@@ -229,11 +251,13 @@ class DemoPipeline:
         pred_joints = np.einsum("jv,nvk->njk", self.m.joint_regressor,
                                 mesh)                 # [N, 17, 3] meters
         targets = np.zeros((n, 17, 2), np.float32)
+        fit_boxes = np.zeros((n, 4), np.float32)
         for i in range(n):
             tight = get_bbox(kp19[i])
             bbox1 = process_bbox(tight, aspect_ratio=1.0, scale=1.25)
             if bbox1 is None:
                 bbox1 = tight
+            fit_boxes[i] = bbox1
             warped, _ = j2d_processing(
                 kp19[i].copy(), (vsize, vsize), bbox1, 0, False, ())
             targets[i] = warped[:17, :2]
@@ -242,11 +266,6 @@ class DemoPipeline:
 
         # Full-frame cameras for rendering: the fit is against the virtual
         # crop around the person, so convert through that crop's box.
-        fit_boxes = np.zeros((n, 4), np.float32)
-        for i in range(n):
-            tight = get_bbox(kp19[i])
-            b = process_bbox(tight, aspect_ratio=1.0, scale=1.25)
-            fit_boxes[i] = b if b is not None else tight
         orig_cam = convert_crop_cam_to_orig_img(cam, fit_boxes, W, H)
         self._log("cameras fit")
 
@@ -279,8 +298,28 @@ class DemoPipeline:
             f_ids = tr["frames"]
             kps = None
             if keypoints_per_frame is not None:
-                kps = np.stack([keypoints_per_frame[f][0]
-                                for f in f_ids])
+                # Associate each frame's keypoint set with THIS track by
+                # IoU against the track's box (multi-person npz inputs
+                # carry [K, 17, 3] per frame; index 0 is only correct for
+                # single-person videos).
+                from pmce_tpu.demo.tracker import iou_matrix
+                from pmce_tpu.ops.coords import get_bbox
+
+                rows = []
+                for j, f in enumerate(f_ids):
+                    cands = np.asarray(keypoints_per_frame[f], np.float32)
+                    if cands.ndim == 2:
+                        cands = cands[None]
+                    k = 0
+                    if len(cands) > 1:
+                        kp_boxes = np.stack(
+                            [get_bbox(c[:, :2]) for c in cands])
+                        cx, cy, w, h = tr["bbox"][j]
+                        tb = np.array([[cx - w / 2, cy - h / 2, w, h]],
+                                      np.float32)
+                        k = int(np.argmax(iou_matrix(kp_boxes, tb)[:, 0]))
+                    rows.append(cands[k])
+                kps = np.stack(rows)
             results[pid] = self.run_tracklet(
                 frames[f_ids], tr["bbox"], f_ids, keypoints=kps)
 
@@ -290,13 +329,16 @@ class DemoPipeline:
             renderer = Renderer(self.m.faces, resolution=(W, H))
             rendered = frames.copy()
             for t in range(len(frames)):
-                # Depth-sort people (reference prepare_rendering_results).
+                # Depth-sort people by bbox top edge — the reference's
+                # prepare_rendering_results sorts on bbox[1] (demo_utils
+                # .py:174-180); crop-cam scale is near-constant per crop
+                # and would tie-break on float noise.
                 persons = []
                 for pid, res in results.items():
                     hit = np.nonzero(res["frames"] == t)[0]
                     if len(hit):
                         i = int(hit[0])
-                        persons.append((res["cam"][i][0], pid, i))
+                        persons.append((res["bboxes"][i][1], pid, i))
                 persons.sort(key=lambda p: p[0])
                 for _, pid, i in persons:
                     res = results[pid]

@@ -53,27 +53,31 @@ def _interp_matrix(start: jax.Array, extent: jax.Array, src_size: int,
 
 @partial(jax.jit, static_argnames=("out_size",))
 def crop_resize_normalize(frames: jax.Array, bboxes: jax.Array,
-                          out_size: int = 224) -> jax.Array:
+                          out_size: int | tuple = 224) -> jax.Array:
     """Batched fused crop + bilinear resize + ImageNet normalization.
 
     Args:
       frames: [N, H, W, 3] uint8 (or float 0..255) source frames.
       bboxes: [N, 4] (x, y, w, h) crop boxes in pixels (may be per-frame
         different; shapes stay static).
-      out_size: output resolution (224 for the feature extractor, 256/192
-        via two calls for ViTPose).
+      out_size: output resolution — an int for square crops (224 for the
+        feature extractor) or an (out_h, out_w) tuple (256×192 for
+        ViTPose: the box height maps onto out_h rows and the box width
+        onto out_w columns, so keypoint decode scales stay consistent).
 
     Returns:
-      [N, 3, out_size, out_size] float32, normalized, channel-first (the
+      [N, 3, out_h, out_w] float32, normalized, channel-first (the
       layout the ResNet feature extractor consumes).
     """
+    out_h, out_w = ((out_size, out_size) if isinstance(out_size, int)
+                    else out_size)
     N, H, W, _ = frames.shape
     frames = frames.astype(jnp.float32)
 
     def one(frame, bbox):
         x, y, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
-        ry = _interp_matrix(y, h, H, out_size)            # [S, H]
-        rx = _interp_matrix(x, w, W, out_size)            # [S, W]
+        ry = _interp_matrix(y, h, H, out_h)               # [S, H]
+        rx = _interp_matrix(x, w, W, out_w)               # [S, W]
         # [S,H]·[H,W,3] → [S,W,3]; then contract W with rx.
         tmp = jnp.einsum("sh,hwc->swc", ry, frame,
                          precision=jax.lax.Precision.DEFAULT)

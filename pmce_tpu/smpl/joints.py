@@ -59,6 +59,36 @@ def extended_joint_regressor(J_regressor: np.ndarray,
     return np.concatenate([J_regressor.astype(np.float32), *rows], axis=0)
 
 
+def coco17_regressor(J_regressor24: np.ndarray,
+                     face_vertices: tuple = FACE_KPS_VERTEX) -> np.ndarray:
+    """[17, V] regressor in COCO-17 keypoint order.
+
+    The demo's camera fit pairs mesh-regressed joints with ViTPose/COCO
+    2D keypoints, so BOTH sides must share the COCO ordering (the
+    reference fits against ``joint_regressor_coco``). Face keypoints
+    (nose/eyes/ears) are one-hot vertex rows (lib/smpl.py:22-33 style);
+    body joints map onto SMPL-24 rows.
+    """
+    V = J_regressor24.shape[1]
+
+    def face_row(i):
+        row = np.zeros(V, np.float32)
+        row[min(face_vertices[i], V - 1)] = 1.0
+        return row
+
+    # COCO-17: nose, eyes, ears (face rows), then L/R shoulder, elbow,
+    # wrist, hip, knee, ankle (SMPL-24 joint rows).
+    smpl_idx = {"ls": 16, "rs": 17, "le": 18, "re": 19, "lw": 20,
+                "rw": 21, "lh": 1, "rh": 2, "lk": 4, "rk": 5,
+                "la": 7, "ra": 8}
+    rows = [face_row(0), face_row(1), face_row(2), face_row(3),
+            face_row(4)]
+    rows += [J_regressor24[smpl_idx[k]] for k in
+             ("ls", "rs", "le", "re", "lw", "rw",
+              "lh", "rh", "lk", "rk", "la", "ra")]
+    return np.stack(rows).astype(np.float32)
+
+
 def spin49_regressor(J_regressor24: np.ndarray,
                      openpose_regressor: np.ndarray | None = None
                      ) -> np.ndarray:

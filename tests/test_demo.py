@@ -176,6 +176,51 @@ def test_demo_window_list():
     np.testing.assert_array_equal(w[0], np.zeros((16, 1)))  # singleton f0
 
 
+def test_demo_window_list_short_tracklets():
+    """n < seqlen must keep one window per frame with valid indices
+    (the old edge-padding math emitted 15 windows for ANY short n, with
+    out-of-range frame indices — crashing the camera fit)."""
+    for n in (1, 2, 5, 10, 15, 16, 17):
+        windows = demo_window_list(n, 16)
+        assert len(windows) == n, n
+        mids = [s if s == e else s + 8 for s, e in windows]
+        assert mids == list(range(n)), n
+        for s, e in windows:
+            assert 0 <= s <= e < n, (n, s, e)
+
+
+def test_pose_crop_decode_round_trip(rng):
+    """A known image point must survive crop → (simulated) heatmap →
+    heatmap_to_image_coords. Round 2 review: the 256×256-crop-sliced-
+    to-192-columns path skewed every x by 4/3 of the box offset."""
+    from pmce_tpu.demo.preprocess import crop_resize_normalize
+    from pmce_tpu.models.vitpose import heatmap_to_image_coords
+
+    H, W = 240, 320
+    box = np.array([[40.0, 30.0, 96.0, 128.0]], np.float32)  # x y w h
+    # A bright dot at a known box-relative position (u, v).
+    u, v = 0.625, 0.3125
+    px = int(box[0, 0] + u * box[0, 2])
+    py = int(box[0, 1] + v * box[0, 3])
+    frame = np.zeros((1, H, W, 3), np.uint8)
+    frame[0, py - 1 : py + 2, px - 1 : px + 2] = 255
+
+    crop = np.asarray(crop_resize_normalize(
+        jnp.asarray(frame), jnp.asarray(box), out_size=(256, 192)))
+    # Brightest crop pixel ≈ (v·256, u·192).
+    flat = crop[0, 0]                     # one channel, [256, 192]
+    iy, ix = np.unravel_index(np.argmax(flat), flat.shape)
+    assert abs(ix - u * 192) <= 2.0, (ix, u * 192)
+    assert abs(iy - v * 256) <= 2.0, (iy, v * 256)
+
+    # Decode from heatmap coordinates back to full-frame pixels.
+    kp_hm = np.array([[[u * 48, v * 64]]], np.float32)   # [1, 1, 2]
+    img_xy = heatmap_to_image_coords(kp_hm, box,
+                                     heatmap_size=(64, 48),
+                                     crop_size=(256, 192))
+    np.testing.assert_allclose(img_xy[0, 0], [px, py], atol=1.5)
+
+
 def test_renderer_draws_mesh(smpl_artifacts):
     img = np.zeros((120, 160, 3), np.uint8)
     renderer = Renderer(smpl_artifacts.faces, resolution=(160, 120))
