@@ -19,7 +19,10 @@ import dataclasses
 
 import numpy as np
 
-from pmce_tpu.data.chunker import split_into_chunks_mesh
+from pmce_tpu.data.chunker import (
+    split_into_chunks_mesh,
+    split_into_chunks_pose,
+)
 from pmce_tpu.data.synthetic import SyntheticSequenceData
 
 
@@ -33,11 +36,24 @@ class ClipDataset:
     use_gt_input: bool = False
     fitting_thr_mm: float = 25.0
     name: str = "synthetic"
+    # "mesh" drops windows whose mid frame lacks an SMPL fit; "pose"
+    # keeps every window — the reference picks by MODEL stage
+    # (Human36M/dataset.py:99-103): Stage-1 PoseEst trains and is
+    # EVALUATED over all windows. "static" = one degenerate window per
+    # SMPL-fitted frame (COCO/MPII single images; no video chunking).
+    chunk_mode: str = "mesh"
 
     def __post_init__(self):
-        self.vid_indices = split_into_chunks_mesh(
-            self.data.img_names, self.seqlen, self.stride,
-            self.data.has_smpl)
+        if self.chunk_mode == "static":
+            frames = np.nonzero(np.asarray(self.data.has_smpl))[0]
+            self.vid_indices = np.stack([frames, frames], axis=1)
+        elif self.chunk_mode == "pose":
+            self.vid_indices = split_into_chunks_pose(
+                self.data.img_names, self.seqlen, self.stride)
+        else:
+            self.vid_indices = split_into_chunks_mesh(
+                self.data.img_names, self.seqlen, self.stride,
+                self.data.has_smpl)
         d = self.data
         # Width-normalized 2D inputs, precomputed once.
         w = d.img_hw[:, 1:2].astype(np.float32)
@@ -162,9 +178,12 @@ def epoch_iterator(dataset: ClipDataset, batch_size: int, shuffle: bool,
         weight = np.ones(batch_size, np.float32)
         if len(idxs) < batch_size:
             # Pad the final batch by wrapping (static shapes for XLA);
-            # padded rows get zero weight.
+            # padded rows get zero weight. np.resize repeats the order
+            # cyclically, so datasets SMALLER than the deficit still fill
+            # the full batch.
             weight[len(idxs):] = 0.0
-            idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            idxs = np.concatenate(
+                [idxs, np.resize(order, batch_size - len(idxs))])
         batch = dataset.get_batch(idxs)
         batch["_weight"] = weight
         yield batch

@@ -30,9 +30,11 @@ class StaticImageDataset(VideoMeshDataset):
     """
 
     def __post_init__(self):
+        # Degenerate one-frame windows regardless of the configured
+        # chunk mode — and skip the video chunker entirely (it walked
+        # every image name only to have its output discarded).
+        self.chunk_mode = "static"
         super().__post_init__()
-        frames = np.nonzero(self.data.has_smpl)[0]
-        self.vid_indices = np.stack([frames, frames], axis=1)
 
     def evaluate(self, results, verbose: bool = True):
         raise NotImplementedError(

@@ -71,6 +71,12 @@ def apply_fitting_gate(data, jr_h36m: np.ndarray,
 class Human36M(VideoMeshDataset):
     name: str = "Human36M"
     eval_cam_idx: int = 4
+    # Stage-1 joint protocol subsets to the 14 H36M eval joints after
+    # root alignment (reference Human36M/dataset.py:62,670) — the full
+    # 17-joint set would score the zeroed root (error exactly 0) and
+    # deflate MPJPE vs the reference protocol.
+    eval_joint_subset: tuple | None = (
+        1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16)
 
     def keep_mask(self) -> np.ndarray:
         mids = self.mid_indices()

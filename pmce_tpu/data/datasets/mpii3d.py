@@ -25,29 +25,51 @@ FITTING_THR_CROP_PX = 3.0
 
 
 def reprojection_fit_mask(pred_pose2d: np.ndarray, gt_pose2d: np.ndarray,
-                          bbox_size: np.ndarray,
+                          tight_bboxes: np.ndarray,
+                          valid: np.ndarray | None = None,
                           thr_px: float = FITTING_THR_CROP_PX) -> np.ndarray:
     """Train-split quality gate in 64×64-crop pixel units.
 
-    Parity: MPII3D ``get_fitting_error`` — detector 2D vs GT 2D distance
-    scaled into a 64-pixel crop; mean distance > thr ⇒ invalid.
+    Parity: MPII3D ``get_fitting_error`` (dataset.py:368-380) — both joint
+    sets map into the 64×64 crop of the ``process_bbox``-SANITIZED square
+    tight box (w−1 edge semantics; a raw max-edge scale is ~2% off and
+    flips samples near the threshold), invalid joints are masked out, and
+    mean distance > thr ⇒ invalid.
 
     Args:
       pred_pose2d, gt_pose2d: [N, J, 2] pixels.
-      bbox_size: [N] tight-bbox edge length in pixels.
+      tight_bboxes: [N, 4] (x, y, w, h) tight keypoint boxes.
+      valid: optional [N, J] 0/1 joint validity.
     """
-    scale = 64.0 / np.maximum(bbox_size, 1e-6)
-    err = np.linalg.norm(pred_pose2d - gt_pose2d, axis=-1)
-    err = err.mean(-1) * scale
-    return err <= thr_px
+    from pmce_tpu.ops.coords import process_bbox
+
+    n = len(pred_pose2d)
+    good = np.zeros(n, bool)
+    for i in range(n):
+        bbox = process_bbox(
+            np.asarray(tight_bboxes[i], np.float32).copy(),
+            aspect_ratio=1.0)
+        if bbox is None:
+            continue
+        v = (np.ones(pred_pose2d.shape[1], bool) if valid is None
+             else np.asarray(valid[i]).reshape(-1) > 0)
+        if not v.any():
+            continue
+        scale = 64.0 / bbox[2]
+        err = np.linalg.norm(
+            (pred_pose2d[i][v] - gt_pose2d[i][v]) * scale, axis=-1).mean()
+        good[i] = err <= thr_px
+    return good
 
 
 def apply_reprojection_gate(data) -> None:
     """Train gate: zero ALL loss validities on bad fits, keep the windows
     (reference /root/reference/data/MPII3D/dataset.py:440-443)."""
-    bbox = (data.joint_img.max(1) - data.joint_img.min(1)).max(-1)
+    from pmce_tpu.ops.coords import get_bbox
+
+    tight = np.stack([get_bbox(j[:17]) for j in data.joint_img])
     good = reprojection_fit_mask(
-        data.pose2d_det[:, :17], data.joint_img[:, :17], bbox)
+        data.pose2d_det[:, :17], data.joint_img[:, :17], tight)
     v = (data.has_smpl & good).astype(np.float32)
     data.mesh_valid = v
     data.lift_valid = v.copy()

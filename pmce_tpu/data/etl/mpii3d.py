@@ -29,11 +29,7 @@ from pmce_tpu.data.etl.common import (
     load_json,
     smpl_world_to_cam_mm,
 )
-from pmce_tpu.data.kp_utils import (
-    convert_kps,
-    get_joint_names,
-    transform_joint_to_other_db,
-)
+from pmce_tpu.data.kp_utils import MPII3D_TEST_TO_H36M, convert_kps
 from pmce_tpu.data.packed import SequenceData
 from pmce_tpu.smpl.artifacts import SMPLArtifacts
 
@@ -138,12 +134,13 @@ def convert_mpii3d_val(data_path: str, num_verts: int) -> SequenceData:
     for i in range(len(db["img_name"])):
         name = str(db["img_name"][i])
         j3d = np.asarray(db["joints3D"][i], np.float32)
-        # SPIN 49-joint → mpii3d_test → H36M-17 name walk ×1000
-        # (dataset.py:266-272).
+        # SPIN 49-joint → mpii3d_test → H36M-17 double walk ×1000
+        # (dataset.py:266-272). The second step is the reference's
+        # DATASET-name permutation (kp_utils.MPII3D_TEST_TO_H36M) — a
+        # kp_utils-name match would leave the h36m nose slot zeroed
+        # instead of filling it from the "Head (H36M)" row.
         jcam = convert_kps(j3d, "spin", "mpii3d_test")
-        jcam = transform_joint_to_other_db(
-            jcam, get_joint_names("mpii3d_test"),
-            get_joint_names("h36m")) * 1000.0
+        jcam = jcam[list(MPII3D_TEST_TO_H36M)] * 1000.0
         det = add_pelvis_and_neck(vit[name])[:, :2]
         names.append(name)
         jcams.append(jcam.astype(np.float32))

@@ -46,9 +46,22 @@ def build_dataset(name: str, cfg: Config, art: SMPLArtifacts,
             f"unknown dataset {name!r}; known: {sorted(_REGISTRY)}"
         ) from None
 
-    kw = dict(seqlen=cfg.DATASET.seqlen,
-              stride=cfg.DATASET.stride if split == "train" else 1,
-              use_gt_input=cfg.DATASET.use_gt_input)
+    # Reference stride quirks (train only): MPII3D always windows with
+    # stride 16 (MPII3D/dataset.py:90), and so does Human36M when fed
+    # COCO-set inputs (Human36M/dataset.py:94-97) — non-overlapping
+    # windows, not cfg stride.
+    stride = cfg.DATASET.stride if split == "train" else 1
+    if split == "train" and (
+            name == "MPII3D"
+            or (name == "Human36M"
+                and cfg.DATASET.input_joint_set == "coco")):
+        stride = cfg.DATASET.seqlen
+    kw = dict(seqlen=cfg.DATASET.seqlen, stride=stride,
+              use_gt_input=cfg.DATASET.use_gt_input,
+              # Stage-1 keeps EVERY window; mesh training drops windows
+              # whose mid frame lacks an SMPL fit (dataset.py:99-103).
+              chunk_mode="pose" if cfg.MODEL.name == "PoseEst"
+              else "mesh")
 
     path = packed_path(cfg, name, split)
     if osp.isfile(path) and not cfg.DATASET.synthetic:
@@ -88,7 +101,15 @@ def target_joint_regressor(cfg: Config, dataset) -> np.ndarray:
     if key in ("human36", "h36m"):
         return dataset.joint_regressor_h36m
     if key == "coco":
-        return dataset.joint_regressor_coco
+        jr = dataset.joint_regressor_coco
+        if jr is not None and jr.shape[0] == 17:
+            # Packed splits store the raw 17-row J_regressor_coco; the
+            # COCO-19 convention appends pelvis (hip mean) and neck
+            # (shoulder mean) rows (kp_utils.add_pelvis_and_neck).
+            jr = np.concatenate(
+                [jr, (jr[11] + jr[12])[None] / 2.0,
+                 (jr[5] + jr[6])[None] / 2.0]).astype(np.float32)
+        return jr
     if key == "smpl":
         return dataset.joint_regressor_smpl
     raise ValueError(f"unknown target joint set {key!r}")

@@ -46,10 +46,14 @@ JOINT_NAMES = {
         "rknee", "lankle", "rankle", "hip", "neck",
     ),
     "mpii3d_test": (
-        # The 17-joint MPI-INF-3DHP test set ordering.
+        # The 17-joint MPI-INF-3DHP test set ordering ( _kp_utils.py:
+        # get_mpii3d_test_joint_names). Position 16 fills from spin's
+        # "Head (H36M)" row; the reference's SECOND walk (dataset names,
+        # MPII3D/dataset.py:35-37: position 16 is 'Nose') then lands it
+        # in the h36m nose slot — see MPII3D_TEST_TO_H36M.
         "headtop", "neck", "rshoulder", "relbow", "rwrist", "lshoulder",
         "lelbow", "lwrist", "rhip", "rknee", "rankle", "lhip", "lknee",
-        "lankle", "hip", "Spine (H36M)", "headtop2",
+        "lankle", "hip", "Spine (H36M)", "Head (H36M)",
     ),
     "mpii": (
         "rankle", "rknee", "rhip", "lhip", "lknee", "lankle", "hip",
@@ -68,6 +72,15 @@ JOINT_NAMES = {
         "headtop",
     ),
 }
+
+
+# h36m[i] ← mpii3d_test[MPII3D_TEST_TO_H36M[i]]: the reference's second
+# walk maps by its DATASET name tuples (MPII3D/dataset.py:35-37 'Head,
+# Neck, …, Pelvis, Torso, Nose' → :55-57 'Pelvis, R_Hip, …, Nose, Head,
+# …'), which is this fixed permutation — note position 16 (filled from
+# spin "Head (H36M)") lands in the h36m NOSE slot.
+MPII3D_TEST_TO_H36M = (14, 8, 9, 10, 11, 12, 13, 15, 1, 16, 0,
+                       5, 6, 7, 2, 3, 4)
 
 
 def get_joint_names(convention: str) -> tuple:

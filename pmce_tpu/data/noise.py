@@ -120,9 +120,14 @@ def synthesize_pose(joints: np.ndarray, area: float,
     for q, w in KPS_SYMMETRY:
         pair[q], pair[w] = w, q
     has_pair = (pair >= 0) & np.where(pair >= 0, valid[pair], False)
-    p_inv = np.where(has_pair, p_inv, 0.0)
 
+    # Good keeps its PRIOR mass (1 − all channel priors); an unavailable
+    # inversion channel is zeroed and the deficit renormalizes across ALL
+    # remaining channels proportionally — the reference divides every
+    # channel by the sum of the available ones (noise_utils.py:258-276),
+    # it does not fold the missing mass into good alone.
     p_good = 1.0 - (p_jit + p_miss + p_inv)
+    p_inv = np.where(has_pair, p_inv, 0.0)
     probs = np.stack([p_good, p_jit, p_miss, p_inv], axis=1)
     probs /= probs.sum(1, keepdims=True)
 

@@ -111,3 +111,55 @@ def test_multi_dataset_mixing(synth):
     assert len(multi) == 2 * max(len(ds1), len(ds2))
     batch = multi.sample_batch(16)
     assert batch["pose2d"].shape[0] == 16
+
+
+def test_chunk_mode_pose_keeps_all_windows(synth):
+    """Stage-1 (PoseEst) windows over ALL frames; mesh mode drops windows
+    whose mid frame lacks SMPL (reference Human36M/dataset.py:99-103)."""
+    art, jr, data = synth
+    data.has_smpl = data.has_smpl.copy()
+    data.has_smpl[5:15] = False            # knock out some mid frames
+    mesh_ds = ClipDataset(data, seqlen=16, stride=1, chunk_mode="mesh")
+    pose_ds = ClipDataset(data, seqlen=16, stride=1, chunk_mode="pose")
+    assert len(pose_ds) > len(mesh_ds)
+    # Matches the pose chunker exactly (incl. its VIBE tail trim) —
+    # no windows dropped for missing SMPL.
+    assert len(pose_ds) == len(split_into_chunks_pose(
+        data.img_names, 16, 1))
+
+
+def test_epoch_iterator_fills_batches_larger_than_dataset(synth):
+    """batch_size >> len(dataset): the wrap pad must cycle the order to
+    fill the FULL deficit (order[:deficit] under-filled and broke the
+    static batch shape)."""
+    art, jr, data = synth
+    ds = ClipDataset(data, seqlen=16, stride=8)
+    assert 0 < len(ds) < 32
+    batches = list(epoch_iterator(ds, 32, shuffle=False, seed=0,
+                                  drop_last=False))
+    assert len(batches) == 1
+    assert batches[0]["pose2d"].shape[0] == 32
+    assert batches[0]["_weight"].sum() == len(ds)
+
+
+def test_mpii3d_test_to_h36m_permutation():
+    """spin's 'Head (H36M)' row must land in the h36m NOSE slot via the
+    reference's dataset-name walk (MPII3D/dataset.py:35-37,270-271)."""
+    from pmce_tpu.data.kp_utils import (
+        MPII3D_TEST_TO_H36M,
+        convert_kps,
+        get_joint_names,
+    )
+
+    spin_names = get_joint_names("spin")
+    spin = np.zeros((len(spin_names), 3), np.float32)
+    spin[spin_names.index("Head (H36M)")] = (7.0, 8.0, 9.0)
+    spin[spin_names.index("headtop")] = (1.0, 2.0, 3.0)
+    h36m = convert_kps(spin, "spin", "mpii3d_test")[
+        list(MPII3D_TEST_TO_H36M)]
+    h36m_names = get_joint_names("h36m")
+    np.testing.assert_array_equal(h36m[h36m_names.index("nose")],
+                                  (7.0, 8.0, 9.0))
+    np.testing.assert_array_equal(h36m[h36m_names.index("headtop")],
+                                  (1.0, 2.0, 3.0))
+    assert sorted(MPII3D_TEST_TO_H36M) == list(range(17))
