@@ -35,6 +35,30 @@ def exact_gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def _xla_attention(x: jax.Array, wqkv, bqkv, wproj, bproj, num_heads: int,
+                   dt, precision, attn_dropout=None) -> jax.Array:
+    """Params-explicit XLA multi-head self-attention math — the single
+    source shared by :class:`Attention`'s modular path and Block's
+    training fallback (``attn_dropout``: optional callable applied to the
+    softmax probabilities)."""
+    B, N, C = x.shape
+    dh = C // num_heads
+    x = x.astype(dt)
+    qkv = x @ wqkv.astype(dt)
+    if bqkv is not None:
+        qkv = qkv + bqkv.astype(dt)
+    qkv = qkv.reshape(B, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      precision=precision) * dh ** -0.5
+    attn = jax.nn.softmax(attn, axis=-1)
+    if attn_dropout is not None:
+        attn = attn_dropout(attn)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=precision)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return out @ wproj.astype(dt) + bproj.astype(dt)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth."""
 
@@ -165,22 +189,11 @@ class Attention(nn.Module):
             bq = bqkv if bqkv is not None else jnp.zeros((3 * C,), jnp.float32)
             return fused_mhsa(x.astype(dt), wqkv, bq, wproj, bproj, H)
 
-        x = x.astype(dt)
-        qkv = x @ wqkv.astype(dt)
-        if bqkv is not None:
-            qkv = qkv + bqkv.astype(dt)
-        qkv = qkv.reshape(B, N, 3, H, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          precision=_attn_precision(self.dtype)) * dh ** -0.5
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         precision=_attn_precision(self.dtype))
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = out @ wproj.astype(dt) + bproj.astype(dt)
+        out = _xla_attention(
+            x, wqkv, bqkv, wproj, bproj, H, dt,
+            _attn_precision(self.dtype),
+            attn_dropout=lambda a: nn.Dropout(
+                self.attn_drop, deterministic=deterministic)(a))
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -262,25 +275,14 @@ class Block(nn.Module):
                                self.num_heads)
             else:
                 # Probability dropout happens INSIDE attention — no
-                # kernel path; run the XLA attention with dropout, same
-                # params (matches the modular Attention module exactly).
-                h = h.astype(dt)
-                Bq, N, _ = h.shape
-                dh = self.dim // self.num_heads
-                qkv = h @ wqkv.astype(dt) + bqkv.astype(dt)
-                qkv = qkv.reshape(Bq, N, 3, self.num_heads, dh)
-                qkv = qkv.transpose(2, 0, 3, 1, 4)
-                q, k, v = qkv[0], qkv[1], qkv[2]
-                attn = jnp.einsum(
-                    "bhnd,bhmd->bhnm", q, k,
-                    precision=_attn_precision(self.dtype)) * dh ** -0.5
-                attn = jax.nn.softmax(attn, axis=-1)
-                attn = nn.Dropout(self.attn_drop, deterministic=deterministic,
-                                  name="attn_drop1")(attn)
-                h = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                               precision=_attn_precision(self.dtype))
-                h = h.transpose(0, 2, 1, 3).reshape(Bq, N, self.dim)
-                h = h @ wproj.astype(dt) + bproj.astype(dt)
+                # kernel path; same math/params as the modular Attention
+                # via the shared helper.
+                h = _xla_attention(
+                    h, wqkv, bqkv, wproj, bproj, self.num_heads, dt,
+                    _attn_precision(self.dtype),
+                    attn_dropout=lambda a: nn.Dropout(
+                        self.attn_drop, deterministic=deterministic,
+                        name="attn_drop1")(a))
             # The modular Attention applies proj dropout (rate self.drop)
             # after the output projection.
             h = nn.Dropout(self.drop, deterministic=deterministic,

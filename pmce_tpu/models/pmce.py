@@ -105,11 +105,15 @@ def build_vj_relation(mean_vertices: np.ndarray,
     """
     joints_template = joint_regressor @ mean_vertices
     # One-off constant computation: pin to the host CPU backend so model
-    # construction never issues eager ops over the TPU tunnel.
+    # construction never issues eager ops over the TPU tunnel. Downsample
+    # to the coarsening's LAST level — the same level create_pmce reads
+    # num_vertx from (a hardcoded level 2 would disagree with the vertex
+    # token count for coarsenings with more levels).
+    levels = len(coarsening.sizes) - 1
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         coarse = np.asarray(
-            downsample(coarsening, jnp.asarray(mean_vertices), 0, 2)
+            downsample(coarsening, jnp.asarray(mean_vertices), 0, levels)
         )
     return tuple(
         int(i) for i in nearest_joint_per_vertex(joints_template, coarse)

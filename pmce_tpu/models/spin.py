@@ -18,13 +18,17 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pmce_tpu.ops.geometry import rot6d_to_rotmat
 
 # Mean SMPL parameters would normally come from smpl_mean_params.npz; a
 # neutral initialization (identity 6d rotations, zero shape, unit cam) is
-# used when the artifact is absent.
-_IDENT_6D = jnp.tile(jnp.asarray([1.0, 0, 0, 1.0, 0, 0]), 24)
+# used when the artifact is absent. Kept as NUMPY: a module-level jnp op
+# would initialize the JAX backend as an import side effect, breaking any
+# entry point that must call jax.distributed.initialize() first.
+
+_IDENT_6D = np.tile(np.asarray([1.0, 0, 0, 1.0, 0, 0], np.float32), 24)
 
 
 class Bottleneck(nn.Module):
@@ -96,7 +100,7 @@ class SMPLRegressor(nn.Module):
                  init_cam=None, train: bool = False):
         B = feat.shape[0]
         pose = (init_pose if init_pose is not None
-                else jnp.tile(_IDENT_6D[None], (B, 1)))
+                else jnp.tile(jnp.asarray(_IDENT_6D)[None], (B, 1)))
         shape = (init_shape if init_shape is not None
                  else jnp.zeros((B, 10)))
         cam = (init_cam if init_cam is not None

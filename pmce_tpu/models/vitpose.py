@@ -120,7 +120,14 @@ def decode_heatmaps(heatmaps: jax.Array) -> tuple:
     def per_kp(hm, yy, xx):
         gx = grad_at(hm, yy.astype(jnp.int32), xx.astype(jnp.int32), 0, 1)
         gy = grad_at(hm, yy.astype(jnp.int32), xx.astype(jnp.int32), 1, 0)
-        return (xx + 0.25 * jnp.sign(gx), yy + 0.25 * jnp.sign(gy))
+        # mmpose 'default' applies the offset only at INTERIOR peaks
+        # (1 < px < W-1 and 1 < py < H-1): border peaks keep their
+        # integer coordinate — an unconditional offset with clipped
+        # neighbors can even go negative (peak at x=0, downhill right).
+        interior = ((xx > 1.0) & (xx < w - 1.0)
+                    & (yy > 1.0) & (yy < h - 1.0))
+        off = jnp.where(interior, 0.25, 0.0)
+        return (xx + off * jnp.sign(gx), yy + off * jnp.sign(gy))
 
     per_img = jax.vmap(jax.vmap(per_kp))
     xs2, ys2 = per_img(heatmaps, ys, xs)

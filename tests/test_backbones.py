@@ -65,6 +65,22 @@ def test_decode_heatmaps_peak():
     assert float(scores[0, 0]) == 5.0
 
 
+def test_decode_heatmaps_border_peaks_unshifted():
+    """mmpose 'default' decoding applies the quarter offset only at
+    interior peaks — a border peak keeps its integer coordinate (an
+    unconditional offset could even go NEGATIVE at x=0)."""
+    hm = np.zeros((1, 3, 64, 48), np.float32)
+    hm[0, 0, 10, 0] = 5.0     # peak at left edge, downhill to the right
+    hm[0, 0, 10, 1] = 2.0
+    hm[0, 1, 0, 20] = 4.0     # peak at top edge
+    hm[0, 2, 10, 1] = 4.0     # px == 1: still NOT interior (1 < px)
+    kps, _ = decode_heatmaps(jnp.asarray(hm))
+    kps = np.asarray(kps)
+    np.testing.assert_array_equal(kps[0, 0], [0.0, 10.0])
+    np.testing.assert_array_equal(kps[0, 1], [20.0, 0.0])
+    np.testing.assert_array_equal(kps[0, 2], [1.0, 10.0])
+
+
 def test_heatmap_to_image_coords():
     kps = np.array([[[24.0, 32.0]]], np.float32)  # heatmap center (64x48)
     bbox = np.array([[100.0, 50.0, 192.0, 256.0]], np.float32)
