@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 from typing import Any
 
 import jax
@@ -48,23 +49,40 @@ def save_checkpoint(ckpt_dir: str, epoch: int, end_epoch: int,
     return path
 
 
+def _latest_numbered(ckpt_dir: str) -> str | None:
+    """Highest-EPOCH ``checkpoint{N}.ckpt`` (numeric, not lexicographic —
+    a string sort resumes 'checkpoint9' over 'checkpoint12')."""
+    best_n, best_f = -1, None
+    for f in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"checkpoint(\d+)\.ckpt", f)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_f = int(m.group(1)), f
+    return best_f
+
+
 def load_checkpoint(path: str, params_template: Any = None,
-                    opt_state_template: Any = None) -> dict:
-    """Load a checkpoint; if ``path`` is a directory, picks ``best.ckpt``
-    (falling back to ``final.ckpt``, then the highest-numbered epoch)."""
+                    opt_state_template: Any = None,
+                    prefer: str = "best") -> dict:
+    """Load a checkpoint. For a DIRECTORY, ``prefer`` picks the candidate
+    order: ``"best"`` (evaluation/demo: best → final → latest epoch) or
+    ``"latest"`` (resume: final → latest epoch → best — resuming from
+    best.ckpt would silently rewind completed epochs)."""
     if os.path.isdir(path):
-        for cand in ("best.ckpt", "final.ckpt"):
+        order = (("best.ckpt", "final.ckpt") if prefer == "best"
+                 else ("final.ckpt",))
+        for cand in order:
             p = os.path.join(path, cand)
             if os.path.isfile(p):
                 path = p
                 break
         else:
-            epochs = sorted(
-                f for f in os.listdir(path) if f.startswith("checkpoint")
-            )
-            if not epochs:
+            latest = _latest_numbered(path)
+            if latest is None and prefer == "latest" and os.path.isfile(
+                    os.path.join(path, "best.ckpt")):
+                latest = "best.ckpt"
+            if latest is None:
                 raise FileNotFoundError(f"no checkpoint in {path}")
-            path = os.path.join(path, epochs[-1])
+            path = os.path.join(path, latest)
     with open(path, "rb") as f:
         raw = pickle.loads(f.read())
     out = dict(raw)

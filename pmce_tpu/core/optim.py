@@ -16,11 +16,10 @@ def multistep_schedule(base_lr: float, milestones: list[int],
                        factor: float, steps_per_epoch: int
                        ) -> optax.Schedule:
     """MultiStepLR: multiply by ``factor`` at each milestone epoch."""
-    boundaries = {}
-    scale = 1.0
-    for m in sorted(milestones):
-        scale *= factor
-        boundaries[int(m) * steps_per_epoch] = factor
+    # optax's piecewise_constant_schedule multiplies CUMULATIVELY at each
+    # boundary, so each milestone contributes the single-step factor.
+    boundaries = {int(m) * steps_per_epoch: factor
+                  for m in sorted(milestones)}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 

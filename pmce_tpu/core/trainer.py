@@ -54,10 +54,15 @@ class TrainState(struct.PyTreeNode):
 def make_pmce_train_step(model, tx, faces: jax.Array,
                          J_reg_target: jax.Array,
                          normal_weight: float, edge_weight: float,
-                         joint_weight: float) -> Callable:
+                         joint_weight: float,
+                         num_verts: int | None = None) -> Callable:
     """Build the jitted PMCE optimization step."""
-    face_loss_fn = build_face_losses(np.asarray(faces),
-                                     int(jnp.max(faces)) + 1)
+    # Vertex count from the regressor, NOT max(faces)+1: an unreferenced
+    # top vertex would shrink the segment-sum cotangent and shape-fail
+    # the custom VJP on the first step.
+    if num_verts is None:
+        num_verts = int(J_reg_target.shape[1])
+    face_loss_fn = build_face_losses(np.asarray(faces), num_verts)
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array,
                 edge_gate: jax.Array):
@@ -350,12 +355,15 @@ class Trainer:
                 # Collection pulls full prediction arrays (syncs per batch
                 # by necessity); the fast path above stays device-side.
                 # Only the metric-relevant target keys come back, not the
-                # [B,T,2048] features.
-                pred_mesh = np.asarray(out.get("pred_mesh", 0))
-                pred_joint = np.asarray(out["pred_joint"])
+                # [B,T,2048] features. _to_host gathers across processes
+                # when the arrays are multi-host sharded.
+                pred_mesh = np.asarray(self._to_host(
+                    out.get("pred_mesh", 0)))
+                pred_joint = np.asarray(self._to_host(out["pred_joint"]))
                 keys = (("mesh", "reg_pose3d") if self.is_mesh_model
                         else ("lift_pose3d",))
-                batch = {k: np.asarray(batch_dev[k]) for k in keys}
+                batch = {k: np.asarray(self._to_host(batch_dev[k]))
+                         for k in keys}
                 for j in range(len(pred_joint)):
                     rec = {"joint_coord": pred_joint[j]}
                     if self.is_mesh_model:
@@ -415,7 +423,8 @@ class Trainer:
         loaded = ckpt_lib.load_checkpoint(
             path,
             params_template=jax.device_get(state.params),
-            opt_state_template=jax.device_get(state.opt_state))
+            opt_state_template=jax.device_get(state.opt_state),
+            prefer="latest")
         state = state.replace(
             params=loaded["params"],
             opt_state=loaded.get("opt_state", state.opt_state))
@@ -451,7 +460,9 @@ class Trainer:
         if state is None:
             state = self.init_state(
                 self.train_data.sample_batch(tcfg.batch_size))
-        best = np.inf
+        # Seed best from restored history: a resumed run must not let a
+        # worse first epoch clobber the historical best.ckpt.
+        best = min(self.error_history["joint"], default=np.inf)
         for epoch in range(tcfg.begin_epoch, tcfg.end_epoch + 1):
             state = self.train_epoch(state, epoch)
             if self.test_data is not None:

@@ -80,9 +80,15 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [R, R] f32
-        sm = s * mask01
-        m = jnp.max(sm, axis=-1, keepdims=True)          # ≥ in-clip max
-        p = jnp.exp(sm - m) * mask01
+        # Stabilize with the TRUE max over VALID entries (additive mask):
+        # a multiplicative mask floors the max at 0, so a row whose valid
+        # logits were all very negative would underflow to a zero output
+        # instead of a softmax. min(·, 0) keeps fully-masked padding rows
+        # (valid max = -inf-ish) from overflowing exp; their probs are
+        # zeroed by the mask anyway.
+        m = jnp.max(s + (mask01 - 1.0) * jnp.float32(-_NEG_INF),
+                    axis=-1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s - m, 0.0)) * mask01
         # max(r, eps): fully-masked (padding) rows would divide by zero;
         # their outputs are sliced away by the caller.
         r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
@@ -322,9 +328,10 @@ def _attn_bwd_core(x, g, wqkv, bqkv, wproj, mask01, num_heads: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        sm = s * mask01
-        m = jnp.max(sm, axis=-1, keepdims=True)
-        p = jnp.exp(sm - m) * mask01
+        # Same valid-entry-max stabilizer as the forward (_attn_core).
+        m = jnp.max(s + (mask01 - 1.0) * jnp.float32(-_NEG_INF),
+                    axis=-1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s - m, 0.0)) * mask01
         r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         pn = p / r                                       # f32 [R, R]
         pn_c = pn.astype(dtype)

@@ -131,8 +131,12 @@ def downsample(mesh: MeshCoarsening, x: jax.Array, n1: int = 0,
       [..., sizes[n2], 3].
     """
     for i in range(n1, n2):
+        # Pinned precision: these contract meter-scale COORDINATES, where
+        # the default bf16 MXU pass costs ~mm against the <=0.1 mm parity
+        # spec (preferred_element_type only sets the accumulator).
         x = jnp.einsum(
             "cf,...fk->...ck", jnp.asarray(mesh.D[i]), x,
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=x.dtype,
         )
     return x
@@ -144,6 +148,7 @@ def upsample(mesh: MeshCoarsening, x: jax.Array, n1: int = 1,
     for i in reversed(range(n2, n1)):
         x = jnp.einsum(
             "fc,...ck->...fk", jnp.asarray(mesh.U[i]), x,
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=x.dtype,
         )
     return x
