@@ -240,12 +240,17 @@ def main() -> None:
           f"({len(results)} tracked people)")
 
     # ---- outputs ----
-    np.save(os.path.join(args.output, "demo_frames.npy"), rendered)
     meta = {pid: {"frames": r["frames"].tolist()}
             for pid, r in results.items()}
     with open(os.path.join(args.output, "demo_meta.json"), "w") as f:
         json.dump({"fps_end_to_end": fps, "tracks": meta}, f, indent=2)
-    if video_io.has_ffmpeg() and rendered is not None:
+    if rendered is None:
+        # No tracks → nothing rendered: don't np.save a pickled None
+        # (np.load without allow_pickle would choke on it later).
+        print(f"no people tracked; wrote {args.output}/demo_meta.json only")
+        return
+    np.save(os.path.join(args.output, "demo_frames.npy"), rendered)
+    if video_io.has_ffmpeg():
         out_path = os.path.join(args.output, "demo_output.mp4")
         w = video_io.FFmpegVideoWriter(out_path, rendered.shape[2],
                                        rendered.shape[1])

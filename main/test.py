@@ -66,12 +66,16 @@ def main() -> None:
             embed_dim=cfg.MODEL.hpe_dim, depth=cfg.MODEL.hpe_dep,
             seqlen=cfg.DATASET.seqlen, dtype=dtype,
             fused_attn=cfg.MODEL.fused_attn)
-    else:
+    elif cfg.MODEL.name == "PoseEst":
         model = PoseLifter(num_joints=test_ds.num_joints,
                            num_frames=cfg.DATASET.seqlen,
                            embed_dim=cfg.MODEL.hpe_dim,
                            depth=cfg.MODEL.hpe_dep, dtype=dtype,
                            fused_attn=cfg.MODEL.fused_attn)
+    else:
+        # Strict like train.py: a typo'd name would otherwise evaluate a
+        # random Stage-1 model against a PMCE checkpoint.
+        raise ValueError(f"unknown MODEL.name {cfg.MODEL.name!r}")
 
     eval_root = getattr(test_ds, "eval_root_idx", 0)
     eval_joints = (None if (cfg.MODEL.name == "PoseEst" and eval_root != 0)

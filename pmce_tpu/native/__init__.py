@@ -29,9 +29,23 @@ def _build() -> str:
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if os.path.isfile(out) and os.path.getmtime(out) > newest_src:
         return out
+    # Compile to a per-process temp name and atomically rename: two
+    # processes building concurrently (parallel pytest, demo + train)
+    # must never CDLL a half-written library. Surface g++'s stderr on
+    # failure — CalledProcessError's message omits captured output.
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", out, *srcs]
-    subprocess.run(cmd, check=True, capture_output=True)
+           "-o", tmp, *srcs]
+    try:
+        proc = subprocess.run(cmd, capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"g++ failed ({proc.returncode}): "
+                f"{proc.stderr.decode(errors='replace')[-2000:]}")
+        os.replace(tmp, out)
+    finally:
+        if os.path.isfile(tmp):
+            os.remove(tmp)
     return out
 
 

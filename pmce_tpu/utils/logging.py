@@ -32,6 +32,12 @@ class MetricLogger:
                            config=config or {}, reinit=True)
             except ImportError:
                 print("[pmce-tpu] wandb not installed; JSONL logging only")
+            except Exception as e:  # auth/network/usage errors
+                # Observability must degrade, not kill the run before
+                # step 0: fall back to JSONL on ANY wandb.init failure.
+                self._wandb = None
+                print(f"[pmce-tpu] wandb.init failed ({e!r}); "
+                      "JSONL logging only")
 
     def log(self, metrics: dict, step: int | None = None) -> None:
         record = {"time": time.time(), **metrics}

@@ -204,7 +204,10 @@ def test_importer_cli_end_to_end(tmp_path):
 
     from pmce_tpu.core.checkpoint import load_checkpoint
 
-    loaded = load_checkpoint(str(tmp_path),
+    # The CLI's contract is the exact --out path (round-2 review: it
+    # previously wrote checkpoint{epoch}.ckpt and printed a lie).
+    assert os.path.isfile(out)
+    loaded = load_checkpoint(out,
                              params_template=jax.device_get(params))
     assert loaded["epoch"] == 7
     for a, b in zip(jax.tree_util.tree_leaves(params),

@@ -29,15 +29,27 @@ class _ChumpyStub:
     def __setstate__(self, state):
         self.__dict__.update(state if isinstance(state, dict) else {})
 
+    @staticmethod
+    def _value(v):
+        if isinstance(v, np.ndarray):
+            return v
+        if isinstance(v, _ChumpyStub):
+            return v.r
+        return None
+
     @property
     def r(self):
         # chumpy stores its ndarray payload under 'x' (dterms source).
-        for key in ("x", "a", "_data"):
-            v = self.__dict__.get(key)
-            if isinstance(v, np.ndarray):
+        # A pickled ch_ops.add node has BOTH operands ('a' + 'b') — sum
+        # them; returning only 'a' silently drops the offsets.
+        a = self._value(self.__dict__.get("a"))
+        b = self._value(self.__dict__.get("b"))
+        if a is not None and b is not None:
+            return a + b
+        for v in (self._value(self.__dict__.get("x")), a,
+                  self._value(self.__dict__.get("_data"))):
+            if v is not None:
                 return v
-            if isinstance(v, _ChumpyStub):
-                return v.r
         raise ValueError(
             f"cannot locate ndarray in chumpy state: {list(self.__dict__)}")
 
@@ -48,17 +60,30 @@ class _SparseStub:
     def __setstate__(self, state):
         self.__dict__.update(state if isinstance(state, dict) else {})
 
+    _format = "csc"   # class attribute: pickle bypasses __init__
+
     def toarray(self):
         shape = self.__dict__.get("_shape") or self.__dict__.get("shape")
         data = self.__dict__["data"]
         indices = self.__dict__["indices"]
         indptr = self.__dict__["indptr"]
         out = np.zeros(shape, dtype=data.dtype)
-        # csc layout (scipy pickles csc for the SMPL regressor).
-        for col in range(shape[1]):
-            for k in range(indptr[col], indptr[col + 1]):
-                out[indices[k], col] = data[k]
+        if self._format == "csr":
+            # csr: indptr walks ROWS (a csc walk would index past the
+            # end, or silently transpose a square matrix).
+            for row in range(shape[0]):
+                for k in range(indptr[row], indptr[row + 1]):
+                    out[row, indices[k]] = data[k]
+        else:
+            # csc layout (scipy pickles csc for the SMPL regressor).
+            for col in range(shape[1]):
+                for k in range(indptr[col], indptr[col + 1]):
+                    out[indices[k], col] = data[k]
         return out
+
+
+class _CsrStub(_SparseStub):
+    _format = "csr"
 
 
 class _Unpickler(pickle.Unpickler):
@@ -68,8 +93,8 @@ class _Unpickler(pickle.Unpickler):
         ("chumpy.reordering", "transpose"): _ChumpyStub,
         ("scipy.sparse.csc", "csc_matrix"): _SparseStub,
         ("scipy.sparse._csc", "csc_matrix"): _SparseStub,
-        ("scipy.sparse.csr", "csr_matrix"): _SparseStub,
-        ("scipy.sparse._csr", "csr_matrix"): _SparseStub,
+        ("scipy.sparse.csr", "csr_matrix"): _CsrStub,
+        ("scipy.sparse._csr", "csr_matrix"): _CsrStub,
     }
 
     def find_class(self, module, name):

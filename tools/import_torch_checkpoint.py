@@ -206,8 +206,12 @@ def main() -> None:
     import os
 
     out_dir = os.path.dirname(args.out) or "."
-    save_checkpoint(out_dir, epoch=int(raw.get("epoch", 0)),
-                    end_epoch=-1, payload={"params": params})
+    written = save_checkpoint(out_dir, epoch=int(raw.get("epoch", 0)),
+                              end_epoch=-1, payload={"params": params})
+    # Honor the requested FILE name (save_checkpoint writes the epoch-
+    # numbered name; the tool previously printed a path it never created).
+    if os.path.abspath(written) != os.path.abspath(args.out):
+        os.replace(written, args.out)
     print(f"imported {len(sd)} tensors → {args.out}")
 
 
