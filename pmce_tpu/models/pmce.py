@@ -54,6 +54,10 @@ class PMCE(nn.Module):
     num_vertx: int = 431
     num_verts_full: int = 6890
     seqlen: int = 16
+    # Decoder width knobs (reference defaults; reducible for test harnesses).
+    joint_dim: int = 64
+    vertx_dim: int = 64
+    gru_hidden: int = 1024
     # Compute dtype policy: None = float32 with pinned-precision attention
     # (metric-grade); jnp.bfloat16 = serving fast path (params stay f32,
     # activations/matmuls run bf16, outputs cast back to f32).
@@ -70,6 +74,8 @@ class PMCE(nn.Module):
         self.pose_mesh_coevo = CoevolutionDecoder(
             num_joint=self.num_joint, vj_relation=self.vj_relation,
             num_vertx=self.num_vertx, num_verts_full=self.num_verts_full,
+            joint_dim=self.joint_dim, vertx_dim=self.vertx_dim,
+            gru_hidden=self.gru_hidden,
             seqlen=self.seqlen, dtype=self.dtype,
             fused_attn=self.fused_attn, name="pose_mesh_coevo")
 
