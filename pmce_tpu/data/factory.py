@@ -9,6 +9,11 @@ Resolution order per dataset:
 2. otherwise the deterministic synthetic fixture generators, which provide
    structurally identical data — how the framework trains and evaluates
    end-to-end without the license-gated sources.
+
+Every resolution is printed (``dataset → source``), and a MISSING packed
+npz under an explicitly-configured ``data_dir`` is a hard error — a typo'd
+path must not silently train on synthetic fixtures. The quiet synthetic
+fallback exists only for the default/synthetic configuration.
 """
 
 from __future__ import annotations
@@ -65,12 +70,26 @@ def build_dataset(name: str, cfg: Config, art: SMPLArtifacts,
 
     path = packed_path(cfg, name, split)
     if osp.isfile(path) and not cfg.DATASET.synthetic:
+        print(f"[pmce-tpu] dataset {name}/{split} ← packed npz {path}")
         if cls is Human36M:
             return cls.from_packed(
                 path, split=split,
                 input_joint_set=cfg.DATASET.input_joint_set, **kw)
         return cls.from_packed(path, split=split, **kw)
 
+    if not cfg.DATASET.synthetic and cfg.data_dir != Config().data_dir:
+        # data_dir was explicitly pointed somewhere: a missing packed file
+        # there is a configuration error, not a request for fixtures.
+        raise FileNotFoundError(
+            f"dataset {name}/{split}: no packed npz at {path} although "
+            f"data_dir={cfg.data_dir!r} is explicitly configured. Run the "
+            f"offline ETL (tools/convert_{name.lower()}.py) or set "
+            f"DATASET.synthetic: true to request fixture data.")
+
+    reason = ("DATASET.synthetic: true" if cfg.DATASET.synthetic
+              else f"no packed npz at {path}")
+    print(f"[pmce-tpu] dataset {name}/{split} ← synthetic fixtures "
+          f"({reason})")
     frames = max(2 * cfg.DATASET.seqlen,
                  cfg.DATASET.synthetic_samples // 2)
     if cls in (MSCOCO, MPII):

@@ -273,3 +273,35 @@ def test_factory_prefers_packed(tmp_path, art, regs, monkeypatch):
     ds = factory.build_dataset("Human36M", cfg, art, "train")
     # Packed data, not the synthetic fixture: names come from the mock.
     assert str(ds.data.img_names[0]).startswith("s_01_act_02")
+
+
+def test_factory_errors_on_missing_packed_with_explicit_dir(tmp_path, art):
+    """An explicitly-configured data_dir with no packed npz must hard-error,
+    never silently fall back to synthetic fixtures (silent-drift hazard)."""
+    from pmce_tpu.core.config import Config
+    from pmce_tpu.data import factory
+
+    cfg = Config()
+    cfg.data_dir = str(tmp_path / "nonexistent_drop")
+    cfg.DATASET.seqlen = 4
+    with pytest.raises(FileNotFoundError, match="explicitly configured"):
+        factory.build_dataset("Human36M", cfg, art, "train")
+
+
+def test_factory_synthetic_paths_logged(tmp_path, art, capsys):
+    """Default config quietly falls back to fixtures but SAYS so; the
+    synthetic flag keeps working under an explicit data_dir."""
+    from pmce_tpu.core.config import Config
+    from pmce_tpu.data import factory
+
+    cfg = Config()
+    cfg.DATASET.seqlen = 4
+    cfg.DATASET.synthetic_samples = 32
+    factory.build_dataset("COCO", cfg, art, "train")
+    assert "COCO/train ← synthetic fixtures (no packed npz" in \
+        capsys.readouterr().out
+
+    cfg.data_dir = str(tmp_path / "nonexistent_drop")
+    cfg.DATASET.synthetic = True
+    factory.build_dataset("COCO", cfg, art, "train")
+    assert "DATASET.synthetic: true" in capsys.readouterr().out
