@@ -63,8 +63,11 @@ def initialize(coordinator_address: str | None = None,
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
         return True
-    except Exception as e:  # pragma: no cover - environment dependent
-        if "already initialized" in str(e).lower():
+    except Exception as e:
+        msg = str(e).lower()
+        # jax's message has varied across versions ("already initialized",
+        # "should only be called once"); both mean the same benign thing.
+        if "already initialized" in msg or "only be called once" in msg:
             return True  # idempotent double-call
         raise RuntimeError(f"jax.distributed.initialize failed: {e}") from e
 
