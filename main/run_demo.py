@@ -99,6 +99,10 @@ def main() -> None:
                    help="run real footage with randomly initialized "
                         "model stages (structure check only — outputs "
                         "are meaningless)")
+    p.add_argument("--telemetry", action="store_true",
+                   help="per-stage wall timing under forced device "
+                        "execution + modeled direct-attached-host FPS "
+                        "(always on with --synthetic)")
     args = p.parse_args()
 
     if args.platform:
@@ -224,11 +228,12 @@ def main() -> None:
         pose2d_apply = lambda c: _vp_jit(vp_vars, c)  # noqa: E731
         kps = None  # force the ViTPose path
 
+    telemetry = args.telemetry or args.synthetic
     pipe = DemoPipeline(
         DemoModels(pmce_apply=pmce_apply, feature_apply=feature_apply,
                    pose2d_apply=pose2d_apply, joint_regressor=jr17,
                    faces=art.faces),
-        DemoConfig())
+        DemoConfig(telemetry=telemetry))
 
     t0 = time.time()
     results, rendered = pipe.run(frames, dets, keypoints_per_frame=kps,
@@ -238,12 +243,15 @@ def main() -> None:
     print(f"processed {len(frames)} frames in {dt:.2f}s -> "
           f"{fps:.1f} frames/s end-to-end "
           f"({len(results)} tracked people)")
+    stage_rep = (pipe.print_stage_table(len(frames))
+                 if telemetry and results else None)
 
     # ---- outputs ----
     meta = {pid: {"frames": r["frames"].tolist()}
             for pid, r in results.items()}
     with open(os.path.join(args.output, "demo_meta.json"), "w") as f:
-        json.dump({"fps_end_to_end": fps, "tracks": meta}, f, indent=2)
+        json.dump({"fps_end_to_end": fps, "tracks": meta,
+                   "stages": stage_rep}, f, indent=2)
     if rendered is None:
         # No tracks → nothing rendered: don't np.save a pickled None
         # (np.load without allow_pickle would choke on it later).

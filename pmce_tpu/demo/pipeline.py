@@ -25,6 +25,8 @@ TPU-first restructuring (where the ≥5× end-to-end speedup comes from):
 
 from __future__ import annotations
 
+import collections
+import contextlib
 import dataclasses
 import os
 import time
@@ -106,6 +108,11 @@ class DemoConfig:
     feature_batch: int = 64
     window_batch: int = 32
     pose_crop_hw: tuple = (256, 192)
+    # Per-stage wall timing under FORCED device execution (a scalar of each
+    # stage's output is read back before the clock stops — on this
+    # platform dispatch returns before execution, so un-forced timings
+    # would be dispatch-rate fiction). Adds one tunnel RTT per stage.
+    telemetry: bool = False
 
 
 class DemoPipeline:
@@ -114,11 +121,71 @@ class DemoPipeline:
         self.cfg = config or DemoConfig()
         self._verbose = bool(os.environ.get("PMCE_TPU_VERBOSE"))
         self._t0 = time.time()
+        self.stage_seconds = collections.defaultdict(float)
+        self._transfer_seconds = 0.0
 
     def _log(self, msg: str) -> None:
         if self._verbose:
             print(f"[pipeline +{time.time() - self._t0:7.1f}s] {msg}",
                   flush=True)
+
+    # -------------------------------------------------------- telemetry
+    @contextlib.contextmanager
+    def _stage(self, name: str, *, transfer: bool = False):
+        """Time one stage. The caller forces device execution inside the
+        block via :meth:`_force` on the stage's output before it ends, so
+        the measured wall covers real device work, not dispatch."""
+        if not self.cfg.telemetry:
+            yield
+            return
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.stage_seconds[name] += dt
+        if transfer:
+            self._transfer_seconds += dt
+
+    def _force(self, x) -> None:
+        """Force pending device execution (honest-timing discipline: a
+        dependent scalar is read back — block_until_ready alone returns
+        before execution completes on the tunneled backend)."""
+        if self.cfg.telemetry and isinstance(x, jax.Array):
+            np.asarray(jax.device_get(x.ravel()[:1]))
+
+    def stage_report(self, n_frames: int) -> dict:
+        """Per-stage seconds plus end-to-end and modeled direct-attached
+        FPS.
+
+        ``modeled_direct_attached_fps`` excludes ONLY the raw-frame H2D
+        upload stages (this dev harness reaches its TPU through a ~10 MB/s
+        tunnel; a direct-attached host moves the same bytes over PCIe in
+        negligible time). All compute stages — including their kernel
+        launches and result readbacks — stay in the modeled time.
+        """
+        total = sum(self.stage_seconds.values())
+        compute = total - self._transfer_seconds
+        return {
+            "stage_seconds": dict(self.stage_seconds),
+            "transfer_seconds": self._transfer_seconds,
+            "total_seconds": total,
+            "fps_measured": n_frames / total if total else float("nan"),
+            "modeled_direct_attached_fps":
+                n_frames / compute if compute else float("nan"),
+        }
+
+    def print_stage_table(self, n_frames: int) -> dict:
+        rep = self.stage_report(n_frames)
+        print(f"{'stage':<14}{'seconds':>9}  share")
+        for name, s in sorted(rep["stage_seconds"].items(),
+                              key=lambda kv: -kv[1]):
+            share = s / rep["total_seconds"] * 100.0
+            print(f"{name:<14}{s:>9.2f}  {share:4.1f}%")
+        print(f"{'TOTAL':<14}{rep['total_seconds']:>9.2f}  "
+              f"-> {rep['fps_measured']:.1f} fps measured; "
+              f"{rep['modeled_direct_attached_fps']:.1f} fps modeled "
+              f"direct-attached (excl. {rep['transfer_seconds']:.2f}s "
+              f"tunnel H2D of raw frames)")
+        return rep
 
     # ------------------------------------------------------------ stages
     def keypoints_for_crops(self, frames_dev: jax.Array,
@@ -189,12 +256,14 @@ class DemoPipeline:
         n = len(frames)
         B = cfg.feature_batch
         pad_n = (-n) % B
-        frames_dev = jax.device_put(np.concatenate(
-            [frames, np.repeat(frames[-1:], pad_n, axis=0)])
-            if pad_n else frames)
-        boxes_dev = jax.device_put(np.concatenate(
-            [crop_boxes, np.repeat(crop_boxes[-1:], pad_n, axis=0)])
-            if pad_n else crop_boxes)
+        with self._stage("h2d_frames", transfer=True):
+            frames_dev = jax.device_put(np.concatenate(
+                [frames, np.repeat(frames[-1:], pad_n, axis=0)])
+                if pad_n else frames)
+            boxes_dev = jax.device_put(np.concatenate(
+                [crop_boxes, np.repeat(crop_boxes[-1:], pad_n, axis=0)])
+                if pad_n else crop_boxes)
+            self._force(frames_dev)
 
         # --- 2D keypoints (COCO-17 + pelvis/neck → 19) ---
         if keypoints is None:
@@ -203,20 +272,24 @@ class DemoPipeline:
                     "no keypoints supplied and DemoModels.pose2d_apply is "
                     "None — pass keypoints_per_frame or configure a 2D "
                     "pose model")
-            keypoints = self.keypoints_for_crops(frames_dev, crop_boxes, n)
+            with self._stage("pose2d"):
+                keypoints = self.keypoints_for_crops(
+                    frames_dev, crop_boxes, n)  # host decode = forced
         kp19 = add_pelvis_and_neck(keypoints[..., :2], lhip=11, rhip=12,
                                    lshoulder=5, rshoulder=6)
 
         self._log("2d keypoints ready")
         # --- per-frame image features (device-resident) ---
-        feats = []
-        for i in range(0, n + pad_n, B):
-            crops = crop_resize_normalize(
-                jax.lax.dynamic_slice_in_dim(frames_dev, i, B),
-                jax.lax.dynamic_slice_in_dim(boxes_dev, i, B),
-                out_size=224)
-            feats.append(self.m.feature_apply(crops))
-        feats_dev = jnp.concatenate(feats)[:n]        # [N, 2048] on device
+        with self._stage("features"):
+            feats = []
+            for i in range(0, n + pad_n, B):
+                crops = crop_resize_normalize(
+                    jax.lax.dynamic_slice_in_dim(frames_dev, i, B),
+                    jax.lax.dynamic_slice_in_dim(boxes_dev, i, B),
+                    out_size=224)
+                feats.append(self.m.feature_apply(crops))
+            feats_dev = jnp.concatenate(feats)[:n]    # [N, 2048] on device
+            self._force(feats_dev)
         self._log("features ready")
 
         # --- clip windows → PMCE (device-side window gather) ---
@@ -231,15 +304,16 @@ class DemoPipeline:
                 [win_idx, np.repeat(win_idx[-1:], pad, axis=0)])
         win_idx_dev = jax.device_put(win_idx)
 
-        meshes = []
-        for i in range(0, nw + pad, WB):
-            idx = jax.lax.dynamic_slice_in_dim(win_idx_dev, i, WB)
-            mesh_b, _evo, _p3d = self.m.pmce_apply(
-                jnp.take(norm_kp_dev, idx, axis=0),
-                jnp.take(feats_dev, idx, axis=0))
-            meshes.append(mesh_b)
-        mesh_dev = jnp.concatenate(meshes)[:nw]       # [N, V, 3] meters
-        mesh = np.asarray(mesh_dev)                   # single D2H
+        with self._stage("pmce"):
+            meshes = []
+            for i in range(0, nw + pad, WB):
+                idx = jax.lax.dynamic_slice_in_dim(win_idx_dev, i, WB)
+                mesh_b, _evo, _p3d = self.m.pmce_apply(
+                    jnp.take(norm_kp_dev, idx, axis=0),
+                    jnp.take(feats_dev, idx, axis=0))
+                meshes.append(mesh_b)
+            mesh_dev = jnp.concatenate(meshes)[:nw]   # [N, V, 3] meters
+            mesh = np.asarray(mesh_dev)               # single D2H = forced
         self._log("meshes ready")
 
         # --- camera fit (closed form, batched) ---
@@ -248,25 +322,26 @@ class DemoPipeline:
         from pmce_tpu.data.aug import j2d_processing
         from pmce_tpu.ops.coords import get_bbox, process_bbox
 
-        pred_joints = np.einsum("jv,nvk->njk", self.m.joint_regressor,
-                                mesh)                 # [N, 17, 3] meters
-        targets = np.zeros((n, 17, 2), np.float32)
-        fit_boxes = np.zeros((n, 4), np.float32)
-        for i in range(n):
-            tight = get_bbox(kp19[i])
-            bbox1 = process_bbox(tight, aspect_ratio=1.0, scale=1.25)
-            if bbox1 is None:
-                bbox1 = tight
-            fit_boxes[i] = bbox1
-            warped, _ = j2d_processing(
-                kp19[i].copy(), (vsize, vsize), bbox1, 0, False, ())
-            targets[i] = warped[:17, :2]
-        cam = np.asarray(fit_cam_closed_form(
-            jnp.asarray(pred_joints), jnp.asarray(targets), vsize / 2.0))
+        with self._stage("camera_fit"):
+            pred_joints = np.einsum("jv,nvk->njk", self.m.joint_regressor,
+                                    mesh)             # [N, 17, 3] meters
+            targets = np.zeros((n, 17, 2), np.float32)
+            fit_boxes = np.zeros((n, 4), np.float32)
+            for i in range(n):
+                tight = get_bbox(kp19[i])
+                bbox1 = process_bbox(tight, aspect_ratio=1.0, scale=1.25)
+                if bbox1 is None:
+                    bbox1 = tight
+                fit_boxes[i] = bbox1
+                warped, _ = j2d_processing(
+                    kp19[i].copy(), (vsize, vsize), bbox1, 0, False, ())
+                targets[i] = warped[:17, :2]
+            cam = np.asarray(fit_cam_closed_form(  # np.asarray = forced
+                jnp.asarray(pred_joints), jnp.asarray(targets), vsize / 2.0))
 
-        # Full-frame cameras for rendering: the fit is against the virtual
-        # crop around the person, so convert through that crop's box.
-        orig_cam = convert_crop_cam_to_orig_img(cam, fit_boxes, W, H)
+            # Full-frame cameras for rendering: the fit is against the
+            # virtual crop around the person, converted through its box.
+            orig_cam = convert_crop_cam_to_orig_img(cam, fit_boxes, W, H)
         self._log("cameras fit")
 
         return {"mesh": mesh, "cam": cam, "orig_cam": orig_cam,
@@ -290,9 +365,10 @@ class DemoPipeline:
         """
         # Clamp the reference's MIN_NUM_FRAMES=25 to the clip length so
         # short videos still produce tracks.
-        tracks = track_video(detections_per_frame,
-                             min_frames=min(self.cfg.min_track_frames,
-                                            len(frames)))
+        with self._stage("track"):
+            tracks = track_video(detections_per_frame,
+                                 min_frames=min(self.cfg.min_track_frames,
+                                                len(frames)))
         results = {}
         for pid, tr in tracks.items():
             f_ids = tr["frames"]
@@ -325,23 +401,24 @@ class DemoPipeline:
 
         rendered = None
         if render and results:
-            H, W = frames.shape[1:3]
-            renderer = Renderer(self.m.faces, resolution=(W, H))
-            rendered = frames.copy()
-            for t in range(len(frames)):
-                # Depth-sort people by bbox top edge — the reference's
-                # prepare_rendering_results sorts on bbox[1] (demo_utils
-                # .py:174-180); crop-cam scale is near-constant per crop
-                # and would tie-break on float noise.
-                persons = []
-                for pid, res in results.items():
-                    hit = np.nonzero(res["frames"] == t)[0]
-                    if len(hit):
-                        i = int(hit[0])
-                        persons.append((res["bboxes"][i][1], pid, i))
-                persons.sort(key=lambda p: p[0])
-                for _, pid, i in persons:
-                    res = results[pid]
-                    rendered[t] = renderer.render(
-                        rendered[t], res["mesh"][i], res["orig_cam"][i])
+            with self._stage("render"):
+                H, W = frames.shape[1:3]
+                renderer = Renderer(self.m.faces, resolution=(W, H))
+                rendered = frames.copy()
+                for t in range(len(frames)):
+                    # Depth-sort people by bbox top edge — the reference's
+                    # prepare_rendering_results sorts on bbox[1]
+                    # (demo_utils.py:174-180); crop-cam scale is
+                    # near-constant per crop and would tie-break on noise.
+                    persons = []
+                    for pid, res in results.items():
+                        hit = np.nonzero(res["frames"] == t)[0]
+                        if len(hit):
+                            i = int(hit[0])
+                            persons.append((res["bboxes"][i][1], pid, i))
+                    persons.sort(key=lambda p: p[0])
+                    for _, pid, i in persons:
+                        res = results[pid]
+                        rendered[t] = renderer.render(
+                            rendered[t], res["mesh"][i], res["orig_cam"][i])
         return results, rendered
