@@ -359,6 +359,29 @@ class AdaLayerNorm(nn.Module):
         )
 
 
+class AdaLayerNormParams(nn.Module):
+    """Owns :class:`AdaLayerNorm`'s parameter tree (mlp_gamma/mlp_beta
+    Dense) and regresses the per-clip γ/β vectors WITHOUT applying the
+    normalization — the norm itself runs inside the fused decoder kernel
+    (ops/fused_attention.fused_ada_block)."""
+
+    num_features: int
+    cond_dim: int = 2048
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cond: jax.Array):
+        kg, bg = DenseParams(self.cond_dim, self.num_features,
+                             name="mlp_gamma")()
+        kb, bb = DenseParams(self.cond_dim, self.num_features,
+                             name="mlp_beta")()
+        dt = self.dtype or cond.dtype
+        c = cond.astype(dt)
+        gamma = c @ kg.astype(dt) + bg.astype(dt)
+        beta = c @ kb.astype(dt) + bb.astype(dt)
+        return gamma, beta
+
+
 class CrossAttention(nn.Module):
     """Cross-attention with distinct query/key/value streams.
 
@@ -421,6 +444,45 @@ class AdaBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array,
                  deterministic: bool = True) -> jax.Array:
+        # The long-token streams (the decoder's 431 coarse vertices) run
+        # the WHOLE conditioned block as one Pallas kernel: γ/β regressed
+        # outside (tiny [B,2048]→[B,C] matmuls), AdaLN + MHSA + AdaLN +
+        # MLP + residuals in one VMEM pass per clip. Short streams keep
+        # the grouped fused-attention path (the per-clip grid would
+        # under-fill the MXU at N≈19). Stochastic depth enters the kernel
+        # as per-clip branch masks; only element-level dropout forces the
+        # modular fallback.
+        kernel_ok = self.fused and x.shape[1] > 64 and (
+            deterministic or (self.drop == 0.0 and self.attn_drop == 0.0))
+        if kernel_ok:
+            from pmce_tpu.ops.fused_attention import fused_ada_block
+
+            gamma1, beta1 = AdaLayerNormParams(
+                self.dim, cond_dim=cond.shape[-1], dtype=self.dtype,
+                name="norm1")(cond)
+            wqkv, bqkv, wproj, bproj = AttentionParams(
+                self.dim, self.qkv_bias, name="attn")()
+            gamma2, beta2 = AdaLayerNormParams(
+                self.dim, cond_dim=cond.shape[-1], dtype=self.dtype,
+                name="norm2")(cond)
+            w1, bb1, w2, bb2 = MlpParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            dt = self.dtype or x.dtype
+            masks = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                shape = (x.shape[0], 1, 1)
+                m1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                m2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                masks = (m1.astype(jnp.float32) / keep,
+                         m2.astype(jnp.float32) / keep)
+            return fused_ada_block(
+                x.astype(dt), gamma1, beta1, gamma2, beta2,
+                (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2),
+                self.num_heads, 1e-6, masks).astype(x.dtype)
+
         h = AdaLayerNorm(self.dim, dtype=self.dtype, name="norm1")(x, cond)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
                       self.attn_drop, self.drop, dtype=self.dtype,

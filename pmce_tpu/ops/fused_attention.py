@@ -638,3 +638,175 @@ def _fused_block_bwd(num_heads, eps, post_eps, res, g):
 
 
 fused_transformer_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused AdaLayerNorm transformer block (the decoder's conditioned blocks):
+#     x1 = x + m1·MHSA(AdaLN1(x; γ1,β1));  y = x1 + m2·MLP(AdaLN2(x1; γ2,β2))
+# γ/β are PER-CLIP vectors (regressed outside from the GRU mid feature —
+# reference AdaLayerNorm, /root/reference/lib/models/CoevoDecoder.py:16-29);
+# one grid step per clip keeps the whole 431-token vertex stream (padded to
+# 448 rows) VMEM-resident: one HBM read + one write of x per block instead
+# of the XLA path's per-op materializations. This is the kernel that lifts
+# the N>64 decoder stream the round-2 fused block could not cover.
+# ---------------------------------------------------------------------------
+
+
+def _adaln_f32(xf, gamma, beta, eps):
+    """Reference AdaLayerNorm on an f32 [R, C] block: UNBIASED std and eps
+    OUTSIDE the sqrt (CoevoDecoder.py:24-29). γ/β broadcast rows."""
+    C = xf.shape[-1]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True) * (C / (C - 1))
+    return gamma * (xf - mean) / (jnp.sqrt(var) + eps) + beta
+
+
+def _ada_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                      bproj_ref, g2_ref, b2_ref, w1_ref, bb1_ref, w2_ref,
+                      bb2_ref, mask_ref, m1_ref, m2_ref, out_ref, *,
+                      num_heads: int, eps: float):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    # Per-clip vectors arrive as [1, 1, C] / [1, 1, 1] blocks (Mosaic
+    # requires the last two block dims to match the array); [0] yields
+    # [1, C] / [1, 1] rows that broadcast over the clip's tokens.
+    h1 = _adaln_f32(xf, g1_ref[0], b1_ref[0], eps).astype(x.dtype)
+    a = _attn_core(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:], bproj_ref[:],
+                   mask_ref[:], num_heads)
+    x1 = xf + a * m1_ref[0]
+
+    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps).astype(x.dtype)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+    hh = hh + bb1_ref[:]
+    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))  # exact GELU
+    mo = jnp.dot(hh.astype(x.dtype), w2_ref[:],
+                 preferred_element_type=jnp.float32) + bb2_ref[:]
+    out_ref[:] = (x1 + mo * m2_ref[0]).astype(out_ref.dtype)
+
+
+def ada_block_reference(x, gamma1, beta1, gamma2, beta2, params, num_heads,
+                        eps=1e-6, attn_fn=None, branch_masks=None):
+    """Pure-XLA reference of the fused AdaLN block (VJP + test oracle).
+
+    ``gamma*/beta*`` are the per-clip [B, C] conditioning vectors (already
+    regressed from the image feature)."""
+    if attn_fn is None:
+        attn_fn = functools.partial(mhsa_reference, num_heads=num_heads)
+    m1, m2 = branch_masks if branch_masks is not None else (1.0, 1.0)
+    wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2 = params
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    h1 = _adaln_f32(xf, gamma1[:, None, :], beta1[:, None, :],
+                    eps).astype(dtype)
+    x1 = xf + attn_fn(h1, wqkv, bqkv, wproj, bproj).astype(jnp.float32) * m1
+    h2 = _adaln_f32(x1, gamma2[:, None, :], beta2[:, None, :],
+                    eps).astype(dtype)
+    hh = (h2 @ w1.astype(dtype)).astype(jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+    mo = (hh.astype(dtype) @ w2.astype(dtype)).astype(jnp.float32) + bb2
+    return (x1 + mo * m2).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_ada_block(x, gamma1, beta1, gamma2, beta2, params, num_heads,
+                    eps=1e-6, branch_masks=None):
+    """Fused conditioned (AdaLayerNorm) transformer block.
+
+    Args:
+      x: [B, N, C] tokens — ANY N (one clip per grid step; tokens padded
+        to the sublane multiple and masked).
+      gamma1/beta1/gamma2/beta2: [B, C] per-clip AdaLN modulation vectors.
+      params: tuple (wqkv [C,3C], bqkv [3C], wproj [C,C], bproj [C],
+        w_fc1 [C,hid], b_fc1 [hid], w_fc2 [hid,C], b_fc2 [C]).
+      num_heads / eps: static config.
+      branch_masks: None, or per-clip [B, 1, 1] stochastic-depth scales
+        (m1, m2) for the attention / MLP residual branches.
+
+    Returns:
+      [B, N, C], same dtype as x.
+    """
+    return _fused_ada_block_impl(x, gamma1, beta1, gamma2, beta2, params,
+                                 num_heads, eps, branch_masks)
+
+
+def _fused_ada_block_impl(x, gamma1, beta1, gamma2, beta2, params,
+                          num_heads, eps, branch_masks):
+    B, N, C = x.shape
+    dtype = x.dtype
+    wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2 = params
+    hid = w1.shape[1]
+
+    Np, mask = _pad_tokens(N)
+    xp = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0))) if Np != N else x
+    x2 = xp.reshape(B * Np, C)
+
+    if branch_masks is None:
+        ones = jnp.ones((B, 1), jnp.float32)
+        m1c = m2c = ones
+    else:
+        m1c = branch_masks[0].astype(jnp.float32).reshape(B, 1)
+        m2c = branch_masks[1].astype(jnp.float32).reshape(B, 1)
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((Np, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Per-clip conditioning/mask vectors as [B, 1, C] / [B, 1, 1] arrays
+    # with one [1, 1, ·] block per grid step: Mosaic requires the LAST TWO
+    # block dims to match the array dims, so the clip axis must be the
+    # leading (grid-indexed) one.
+    clip = pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mclip = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dh = C // num_heads
+    flops = B * (2 * Np * C * 3 * C + num_heads * 4 * Np * Np * dh
+                 + 2 * Np * C * C + 4 * Np * C * hid)
+
+    def cvec(a):
+        return a.astype(jnp.float32).reshape(B, 1, C)
+
+    out = pl.pallas_call(
+        functools.partial(_ada_block_kernel, num_heads=num_heads, eps=eps),
+        grid=(B,),
+        in_specs=[rows, clip, clip] + [full] * 4 + [clip, clip]
+                 + [full] * 4 + [full, mclip, mclip],
+        out_specs=rows,
+        out_shape=jax.ShapeDtypeStruct((B * Np, C), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * Np * C * x2.dtype.itemsize,
+            transcendentals=B * (num_heads * Np * Np + Np * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, cvec(gamma1), cvec(beta1),
+      wqkv.astype(dtype), v(bqkv), wproj.astype(dtype), v(bproj),
+      cvec(gamma2), cvec(beta2),
+      w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2), mask,
+      m1c.reshape(B, 1, 1), m2c.reshape(B, 1, 1))
+    return out.reshape(B, Np, C)[:, :N]
+
+
+def _fused_ada_block_fwd(x, gamma1, beta1, gamma2, beta2, params,
+                         num_heads, eps, branch_masks):
+    return (_fused_ada_block_impl(x, gamma1, beta1, gamma2, beta2, params,
+                                  num_heads, eps, branch_masks),
+            (x, gamma1, beta1, gamma2, beta2, params, branch_masks))
+
+
+def _fused_ada_block_bwd(num_heads, eps, res, g):
+    """Backward via the single-sourced XLA chain with attention routed
+    through fused_mhsa (its Pallas backward carries the dominant cost)."""
+    x, gamma1, beta1, gamma2, beta2, params, branch_masks = res
+    _, vjp = jax.vjp(
+        lambda x, g1, b1, g2, b2, p, m: ada_block_reference(
+            x, g1, b1, g2, b2, p, num_heads, eps,
+            attn_fn=lambda h, wq, bq, wp, bp: fused_mhsa(
+                h, wq, bq, wp, bp, num_heads),
+            branch_masks=m),
+        x, gamma1, beta1, gamma2, beta2, params, branch_masks)
+    return vjp(g)
+
+
+fused_ada_block.defvjp(_fused_ada_block_fwd, _fused_ada_block_bwd)

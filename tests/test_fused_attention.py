@@ -243,3 +243,78 @@ def test_fused_lifter_matches_modular():
     y1 = fused.apply(params, pose2d, feat)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                rtol=5e-5, atol=5e-5)
+
+
+# ------------------------------------------------------- fused AdaLN block
+def test_fused_ada_block_matches_modular():
+    """AdaBlock(fused=True) at N=431 (the decoder's vertex stream) must
+    equal AdaBlock(fused=False) with shared params — whole conditioned
+    block in one kernel, γ/β regressed outside."""
+    from pmce_tpu.models.layers import AdaBlock
+
+    rng = np.random.default_rng(11)
+    B, N, C, H = 3, 431, 64, 2
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 96)), jnp.float32)
+    plain = AdaBlock(C, H, mlp_ratio=4.0, qkv_bias=True, fused=False)
+    fused = AdaBlock(C, H, mlp_ratio=4.0, qkv_bias=True, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x, cond)
+    p2 = fused.init(jax.random.PRNGKey(0), x, cond)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    y0 = plain.apply(params, x, cond)
+    y1 = fused.apply(params, x, cond)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fused_ada_block_gradients():
+    from pmce_tpu.models.layers import AdaBlock
+
+    rng = np.random.default_rng(12)
+    B, N, C, H = 2, 100, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 48)), jnp.float32)
+    plain = AdaBlock(C, H, mlp_ratio=2.0, qkv_bias=True, fused=False)
+    fused = AdaBlock(C, H, mlp_ratio=2.0, qkv_bias=True, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), x, cond)
+
+    g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, x, cond) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(fused.apply(p, x, cond) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_ada_block_branch_masks():
+    """Per-clip stochastic-depth masks inside the AdaLN kernel must match
+    the XLA reference chain with the same masks."""
+    from pmce_tpu.ops.fused_attention import (
+        ada_block_reference,
+        fused_ada_block,
+    )
+
+    rng = np.random.default_rng(13)
+    B, N, C, H = 4, 80, 32, 2
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    g1v = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    b1v = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    g2v = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    b2v = jnp.asarray(rng.normal(size=(B, C)), jnp.float32)
+    params = (
+        jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * C,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C, 2 * C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(2 * C,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(2 * C, C)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32),
+    )
+    masks = (jnp.asarray([[[0.0]], [[2.0]], [[1.0]], [[0.0]]]),
+             jnp.asarray([[[2.0]], [[0.0]], [[1.0]], [[2.0]]]))
+    y = fused_ada_block(x, g1v, b1v, g2v, b2v, params, H, 1e-6, masks)
+    ref = ada_block_reference(x, g1v, b1v, g2v, b2v, params, H, 1e-6,
+                              branch_masks=masks)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
