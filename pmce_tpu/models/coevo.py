@@ -32,8 +32,10 @@ import jax.numpy as jnp
 
 from pmce_tpu.models.layers import (
     AdaBlock,
+    AdaBlockParams,
     BiGRU,
     CrossAttentionBlock,
+    CrossAttentionBlockParams,
     DenseParams,
 )
 
@@ -53,6 +55,11 @@ class CoevoBlock(nn.Module):
     drop_path: float = 0.2
     dtype: Any = None
     fused: bool = False
+    # Run the whole block as ONE kernel per clip (fused_coevo_block).
+    # Measured SLOWER than fused-SA + XLA-CA on v5e at batch 256 (9.8k vs
+    # 10.9k mid-frames/s: the per-clip grid under-fills the MXU), so off
+    # by default; kept as a tested variant for future shapes.
+    whole_block_kernel: bool = False
 
     @nn.compact
     def __call__(self, joint: jax.Array, vertx: jax.Array, cond: jax.Array,
@@ -76,6 +83,18 @@ class CoevoBlock(nn.Module):
                               name="joint_proj")(joint)
         vertx_feat = nn.Dense(self.vertx_dim, dtype=self.dtype,
                               name="vertx_proj")(vertx)
+
+        # Inference runs the ENTIRE block (pos/Q/K embeds, both
+        # cross-attention+FFN blocks, both conditioned self-attention
+        # blocks) as one Pallas kernel per clip — only the f32 coordinate
+        # heads stay outside. Training (stochastic depth active) keeps the
+        # modular path, whose SA blocks still use their own fused kernels.
+        if (self.fused and self.whole_block_kernel and deterministic
+                and self.joint_dim == self.vertx_dim):
+            return self._fused_block(joint, vertx, joint_feat, vertx_feat,
+                                     joint_pos, vertx_pos, j_Q, v_Q,
+                                     v2j_K, j2v_K, cond)
+
         joint_feat = joint_feat + joint_pos
         vertx_feat = vertx_feat + vertx_pos
 
@@ -122,6 +141,62 @@ class CoevoBlock(nn.Module):
                      name="proj_vertx_feat2coor")(vertx_new)
             + vertx[..., :3].astype(jnp.float32)
         )
+        return joint_out, vertx_out
+
+    def _fused_block(self, joint, vertx, joint_feat, vertx_feat,
+                     joint_pos, vertx_pos, j_Q, v_Q, v2j_K, j2v_K, cond):
+        """Inference path: one fused_coevo_block kernel call per clip.
+
+        Parameters are declared through the unapplied holders so the tree
+        is IDENTICAL to the modular path (checkpoints interchangeable)."""
+        from pmce_tpu.ops.fused_attention import fused_coevo_block
+
+        dt = self.dtype or joint_feat.dtype
+        cd = cond.shape[-1]
+        caj_gb, caj_w = CrossAttentionBlockParams(
+            self.joint_dim, self.joint_dim, self.vertx_dim, cd,
+            self.mlp_ratio, qkv_bias=True, dtype=self.dtype,
+            name="joint_CA_FFN")(cond)
+        cav_gb, cav_w = CrossAttentionBlockParams(
+            self.vertx_dim, self.vertx_dim, self.joint_dim, cd,
+            self.mlp_ratio, qkv_bias=True, dtype=self.dtype,
+            name="vertx_CA_FFN")(cond)
+        saj_gb, saj_w = AdaBlockParams(
+            self.joint_dim, cd, self.mlp_ratio, qkv_bias=True,
+            dtype=self.dtype, name="joint_SA_FFN")(cond)
+        sav_gb, sav_w = AdaBlockParams(
+            self.vertx_dim, cd, self.mlp_ratio, qkv_bias=True,
+            dtype=self.dtype, name="vertx_SA_FFN")(cond)
+        wv2j, bv2j = DenseParams(self.vertx_dim, self.joint_dim,
+                                 name="proj_v2j_dim")()
+        wj2v, bj2v = DenseParams(self.joint_dim, self.vertx_dim,
+                                 name="proj_j2v_dim")()
+
+        # AdaLN stacks in ops.fused_attention._COEVO_SLOTS order.
+        gammas = jnp.stack(
+            [caj_gb[0], caj_gb[2], caj_gb[4], caj_gb[6],
+             cav_gb[0], cav_gb[2], cav_gb[4], cav_gb[6],
+             saj_gb[0], saj_gb[2], sav_gb[0], sav_gb[2]], axis=1)
+        betas = jnp.stack(
+            [caj_gb[1], caj_gb[3], caj_gb[5], caj_gb[7],
+             cav_gb[1], cav_gb[3], cav_gb[5], cav_gb[7],
+             saj_gb[1], saj_gb[3], sav_gb[1], sav_gb[3]], axis=1)
+
+        params = (joint_pos[0], vertx_pos[0], j_Q[0], v_Q[0],
+                  v2j_K[0], j2v_K[0], wv2j, bv2j, wj2v, bj2v,
+                  caj_w, cav_w, saj_w, sav_w)
+        jf_out, vf_out = fused_coevo_block(
+            joint_feat.astype(dt), vertx_feat.astype(dt), gammas, betas,
+            params, self.joint_heads, self.vertx_heads)
+
+        joint_out = (
+            nn.Dense(3, dtype=jnp.float32,
+                     name="proj_joint_feat2coor")(jf_out)
+            + joint[..., :3].astype(jnp.float32))
+        vertx_out = (
+            nn.Dense(3, dtype=jnp.float32,
+                     name="proj_vertx_feat2coor")(vf_out)
+            + vertx[..., :3].astype(jnp.float32))
         return joint_out, vertx_out
 
 

@@ -222,7 +222,8 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
-                 post_norm: tuple | None = None) -> jax.Array:
+                 post_norm: tuple | None = None,
+                 return_params: bool = False):
         hidden = int(self.dim * self.mlp_ratio)
         # Stochastic depth does NOT force the modular path: it enters the
         # kernel as per-clip residual-branch masks. Only element-level
@@ -238,6 +239,12 @@ class Block(nn.Module):
                 self.dim, self.qkv_bias, name="attn")()
             g2, b2 = LayerNormParams(self.dim, name="norm2")()
             w1, bb1, w2, bb2 = MlpParams(self.dim, hidden, name="mlp")()
+        if return_params:
+            # Whole-trunk kernels (fused_lifter_trunk) consume the block's
+            # params UNAPPLIED; declaration above keeps the tree identical.
+            assert self.fused, "return_params requires fused=True"
+            return (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2,
+                    w1, bb1, w2, bb2)
 
         if fully_fused:
             from pmce_tpu.ops.fused_attention import fused_transformer_block
@@ -380,6 +387,83 @@ class AdaLayerNormParams(nn.Module):
         gamma = c @ kg.astype(dt) + bg.astype(dt)
         beta = c @ kb.astype(dt) + bb.astype(dt)
         return gamma, beta
+
+
+class AdaBlockParams(nn.Module):
+    """Owns :class:`AdaBlock`'s parameter tree unapplied and regresses its
+    per-clip AdaLN vectors — feeds the fused CoevoBlock kernel."""
+
+    dim: int
+    cond_dim: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cond: jax.Array):
+        g1, b1 = AdaLayerNormParams(self.dim, self.cond_dim,
+                                    dtype=self.dtype, name="norm1")(cond)
+        wqkv, bqkv, wproj, bproj = AttentionParams(
+            self.dim, self.qkv_bias, name="attn")()
+        g2, b2 = AdaLayerNormParams(self.dim, self.cond_dim,
+                                    dtype=self.dtype, name="norm2")(cond)
+        w1, bb1, w2, bb2 = MlpParams(
+            self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+        return ((g1, b1, g2, b2),
+                (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2))
+
+
+class CrossAttentionParams(nn.Module):
+    """Param tree identical to :class:`CrossAttention` (wq/wk/wv/proj)."""
+
+    q_dim: int
+    v_dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = DenseParams(self.q_dim, self.q_dim, self.qkv_bias,
+                             name="wq")()
+        wk, bk = DenseParams(self.q_dim, self.q_dim, self.qkv_bias,
+                             name="wk")()
+        wv, bv = DenseParams(self.v_dim, self.v_dim, self.qkv_bias,
+                             name="wv")()
+        wproj, bproj = DenseParams(self.v_dim, self.q_dim, True,
+                                   name="proj")()
+        zeros = lambda n: jnp.zeros((n,), jnp.float32)  # noqa: E731
+        return (wq, bq if bq is not None else zeros(self.q_dim),
+                wk, bk if bk is not None else zeros(self.q_dim),
+                wv, bv if bv is not None else zeros(self.v_dim),
+                wproj, bproj)
+
+
+class CrossAttentionBlockParams(nn.Module):
+    """Owns :class:`CrossAttentionBlock`'s tree unapplied (fused path)."""
+
+    q_dim: int
+    k_dim: int
+    v_dim: int
+    cond_dim: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cond: jax.Array):
+        gq, bq = AdaLayerNormParams(self.q_dim, self.cond_dim,
+                                    dtype=self.dtype, name="normq")(cond)
+        gk, bk = AdaLayerNormParams(self.k_dim, self.cond_dim,
+                                    dtype=self.dtype, name="normk")(cond)
+        gv, bv = AdaLayerNormParams(self.v_dim, self.cond_dim,
+                                    dtype=self.dtype, name="normv")(cond)
+        g2, b2 = AdaLayerNormParams(self.q_dim, self.cond_dim,
+                                    dtype=self.dtype, name="norm2")(cond)
+        attn = CrossAttentionParams(self.q_dim, self.v_dim, self.qkv_bias,
+                                    name="attn")()
+        w1, bb1, w2, bb2 = MlpParams(
+            self.q_dim, int(self.q_dim * self.mlp_ratio), name="mlp")()
+        return ((gq, bq, gk, bk, gv, bv, g2, b2),
+                attn + (w1, bb1, w2, bb2))
 
 
 class CrossAttention(nn.Module):
@@ -560,10 +644,27 @@ class BiGRU(nn.Module):
         T, B, _ = x.shape
         H = self.hidden_dim
         dt = self.dtype or x.dtype
+        # Under the bf16 policy the whole per-direction scan runs as ONE
+        # Pallas kernel (ops/fused_attention.fused_gru_layer): recurrent
+        # weights VMEM-resident across all T steps, carry in VMEM scratch.
+        # f32 keeps the XLA scan — at H=1024 the f32 weights alone
+        # (~12.6 MB) plus stream buffers exceed the ~16 MB VMEM budget.
+        use_kernel = dt == jnp.bfloat16 and B % 8 == 0
         for layer in range(self.num_layers):
             cells = [TorchGRUCell(H, in_dim=x.shape[-1], dtype=self.dtype,
                                   name=f"l{layer}_{name}")
                      for name in ("fwd", "bwd")]
+            if use_kernel:
+                from pmce_tpu.ops.fused_attention import fused_gru_layer
+
+                ys_f = fused_gru_layer(cells[0].precompute_inputs(x),
+                                       cells[0].hh_kernel(),
+                                       cells[0].hh_bias())
+                ys_b = fused_gru_layer(cells[1].precompute_inputs(x[::-1]),
+                                       cells[1].hh_kernel(),
+                                       cells[1].hh_bias())
+                x = jnp.concatenate([ys_f, ys_b[::-1]], axis=-1)
+                continue
             # gi for both directions, each one fat [T, B, 3H] matmul.
             gi = jnp.stack([cells[0].precompute_inputs(x),
                             cells[1].precompute_inputs(x[::-1])])  # [2,T,B,3H]

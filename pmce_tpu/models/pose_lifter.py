@@ -133,6 +133,35 @@ class PoseLifter(nn.Module):
         x = x + self.spatial_pos_embed[None]
         x = self.pos_drop(x, deterministic=deterministic)
 
+        # bf16-only: the trunk holds all 6 blocks' weights in VMEM for the
+        # whole grid (6.3 MB bf16; the f32 set plus masks overflows the
+        # ~16 MB budget — measured OOM on v5e).
+        if (self.fused_attn and deterministic
+                and self.dtype == jnp.bfloat16):
+            # Whole trunk — all depth×(spatial, temporal) blocks + the
+            # shared norms + the temporal pos-embed — as ONE kernel per
+            # clip: both attention patterns become static masks over the
+            # clip's [T·J, C] token block (ops/fused_attention.py).
+            from pmce_tpu.ops.fused_attention import fused_lifter_trunk
+
+            blocks = []
+            for i in range(self.depth):
+                blocks.append(self.spatial_blocks[i](
+                    x, True, None, return_params=True))
+                blocks.append(self.temporal_blocks[i](
+                    x, True, None, return_params=True))
+            # The pos-embed adds above promote x to f32 (f32 params):
+            # re-enter the compute dtype before the kernel.
+            x = fused_lifter_trunk(
+                x.astype(self.dtype).reshape(B, T * J, C), tuple(blocks),
+                norm_s, norm_t, self.temporal_pos_embed[0], T, J,
+                self.depth, self.num_heads)
+            x = x.reshape(B, T, J, C)
+            x = self.head_proj(self.head_norm(x.astype(jnp.float32)))
+            out = jnp.einsum("t,btjc->bjc", self.fusion_weight, x,
+                             precision=jax.lax.Precision.HIGHEST)
+            return (out + self.fusion_bias[0]).astype(jnp.float32)
+
         # --- head pair (block 0): spatial then temporal ---
         x = x.reshape(B * T, J, C)
         x = self.spatial_blocks[0](x, deterministic, post_norm=norm_s)

@@ -41,15 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+import os
+
+# Row target per fused-kernel grid step. The [R, R] score buffer grows
+# quadratically in R (redundant cross-clip products), but each grid step
+# pays a fixed dispatch/pipeline cost — at batch 256 the lifter runs
+# 6 kernels × (B·T/G) steps, and fatter steps win until the score buffer
+# crowds VMEM. Overridable for probing (tools/probe_stages.py sweeps).
+_TARGET_ROWS = int(os.environ.get("PMCE_TPU_FUSED_ROWS", "256"))  # measured
+# on v5e: lifter fwd 15.2 ms @256 vs 16.2 @128 (batch 256, bf16).
+
+
 def _pick_group(num_clips: int, tokens: int) -> int:
     """Clips per grid step: R = G·N must be sublane-aligned (multiple of 16
-    covers both f32 and bf16 tiling), targeting R ≈ 256-512 rows."""
+    covers both f32 and bf16 tiling), targeting R ≈ _TARGET_ROWS rows."""
     step = 16 // math.gcd(tokens, 16)
-    # Smallest aligned R ≥ 128: the [R, R] score buffer (and its VPU softmax
-    # cost) grows quadratically in R, while MXU rows saturate at one 128-row
-    # tile — small R wins as long as a full tile is covered.
     g = step
-    while g * tokens < 128:
+    while g * tokens < _TARGET_ROWS:
         g += step
     # Never group more clips than the batch has (rounded up to alignment):
     # padding a tiny batch to a full group would compute G× redundant rows.
@@ -810,3 +818,683 @@ def _fused_ada_block_bwd(num_heads, eps, res, g):
 
 
 fused_ada_block.defvjp(_fused_ada_block_fwd, _fused_ada_block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GRU layer scan. The BiGRU's recurrent chain is the only part of the
+# whole model that cannot parallelize over time (reference nn.GRU,
+# /root/reference/lib/models/CoevoDecoder.py:216-229); under XLA each of the
+# 16 steps re-reads the [H, 3H] recurrent weights from HBM and pays a
+# dispatch. Here ONE kernel runs the whole scan: the weights load into VMEM
+# once, the hidden state lives in a VMEM scratch across the (sequential)
+# time grid, and each step is a single well-shaped [B, H] x [H, 3H] MXU
+# matmul plus a VPU gate pass. Input projections stay outside (they are fat
+# time-parallel matmuls XLA already runs at full tilt).
+# ---------------------------------------------------------------------------
+
+
+def _gru_scan_kernel(gi_ref, whh_ref, bhh_ref, ys_ref, h_ref):
+    """One time step per (sequential) grid index; h_ref is the carry.
+
+    Grid is (batch_tiles, T) with time iterating fastest; the carry
+    re-initializes at t == 0 of every batch tile."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    h = h_ref[:]                                          # [B, H] f32
+    H = h.shape[-1]
+    gh = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                 preferred_element_type=jnp.float32) + bhh_ref[:]
+    gi = gi_ref[0].astype(jnp.float32)                    # [B, 3H]
+    B = gi.shape[0]
+    i_r = jax.lax.slice(gi, (0, 0), (B, H))
+    i_z = jax.lax.slice(gi, (0, H), (B, 2 * H))
+    i_n = jax.lax.slice(gi, (0, 2 * H), (B, 3 * H))
+    h_r = jax.lax.slice(gh, (0, 0), (B, H))
+    h_z = jax.lax.slice(gh, (0, H), (B, 2 * H))
+    h_n = jax.lax.slice(gh, (0, 2 * H), (B, 3 * H))
+    # torch gate math: n = tanh(i_n + r * h_n)  (bias inside the reset
+    # product — matches models/layers.TorchGRUCell.step).
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    hn = (1.0 - z) * n + z * h
+    h_ref[:] = hn
+    ys_ref[0] = hn.astype(ys_ref.dtype)
+
+
+def gru_layer_scan_reference(gi: jax.Array, whh: jax.Array,
+                             bhh: jax.Array) -> jax.Array:
+    """Pure-XLA scan with identical math (VJP recompute + test oracle).
+
+    gi: [T, B, 3H] precomputed input-gate projections; whh: [H, 3H];
+    bhh: [3H]. Returns hidden states [T, B, H] (h0 = 0)."""
+    H = whh.shape[0]
+    dt = gi.dtype
+
+    def step(h, gi_t):
+        gh = (h.astype(dt) @ whh.astype(dt)).astype(jnp.float32) \
+            + bhh.astype(jnp.float32)
+        gif = gi_t.astype(jnp.float32)
+        i_r, i_z, i_n = jnp.split(gif, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        hn = (1.0 - z) * n + z * h
+        return hn, hn
+
+    h0 = jnp.zeros((gi.shape[1], H), jnp.float32)
+    _, ys = jax.lax.scan(step, h0, gi)
+    return ys.astype(dt)
+
+
+@jax.custom_vjp
+def fused_gru_layer(gi: jax.Array, whh: jax.Array,
+                    bhh: jax.Array) -> jax.Array:
+    """Whole GRU-layer scan in one Pallas kernel.
+
+    Args:
+      gi: [T, B, 3H] input-gate projections (B a multiple of 8).
+      whh: [H, 3H] recurrent kernel (resident in VMEM for the whole scan —
+        at H=1024 that is ~6.3 MB bf16, within the ~16 MB/core budget).
+      bhh: [3H] recurrent bias.
+
+    Returns:
+      [T, B, H] hidden states, dtype of gi.
+    """
+    return _fused_gru_layer_impl(gi, whh, bhh)
+
+
+def _gru_batch_tile(B: int) -> int:
+    """Largest batch tile ≤256 dividing B: the [Bt, 3H] stream buffers plus
+    the [H, 3H] weights must fit the ~16 MB VMEM budget at H=1024."""
+    for bt in (256, 128, 64, 32, 16, 8):
+        if B % bt == 0:
+            return bt
+    return B
+
+
+def _fused_gru_layer_impl(gi, whh, bhh):
+    T, B, threeH = gi.shape
+    H = threeH // 3
+    dtype = gi.dtype
+    Bt = _gru_batch_tile(B)
+
+    step_block = pl.BlockSpec((1, Bt, 3 * H), lambda b, t: (t, b, 0),
+                              memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _gru_scan_kernel,
+        grid=(B // Bt, T),
+        in_specs=[step_block, full, full],
+        out_specs=out_block,
+        out_shape=jax.ShapeDtypeStruct((T, B, H), dtype),
+        scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=T * 2 * B * H * 3 * H,
+            bytes_accessed=(gi.size + T * B * H) * gi.dtype.itemsize
+            + whh.size * whh.dtype.itemsize,
+            transcendentals=T * B * 3 * H,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(gi, whh.astype(dtype), bhh.astype(jnp.float32).reshape(1, -1))
+
+
+def _fused_gru_layer_fwd(gi, whh, bhh):
+    return _fused_gru_layer_impl(gi, whh, bhh), (gi, whh, bhh)
+
+
+def _fused_gru_layer_bwd(res, g):
+    """Backward by recompute through the XLA scan (same math); the forward
+    kernel's win — VMEM-resident weights across steps — matters most at
+    serving time."""
+    gi, whh, bhh = res
+    _, vjp = jax.vjp(gru_layer_scan_reference, gi, whh, bhh)
+    return vjp(g)
+
+
+fused_gru_layer.defvjp(_fused_gru_layer_fwd, _fused_gru_layer_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused CoevoBlock: the decoder's whole per-block token program — pos/Q/K
+# embeds, BOTH cross-attention+FFN blocks (simultaneous update), BOTH
+# conditioned self-attention+FFN blocks — in ONE kernel per clip
+# (reference: /root/reference/lib/models/CoevoDecoder.py:133-191). The
+# coordinate projections (3→dim and dim→3 heads) stay outside in f32 —
+# they are the pinned-precision seams of the compute policy.
+#
+# Under XLA each CoevoBlock materializes ~20 intermediates per stream
+# through HBM; here the joint (≤32 rows) and vertex (448 rows) streams
+# stay VMEM-resident end to end.
+# ---------------------------------------------------------------------------
+
+
+def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
+                     kv_mask, num_heads: int):
+    """Masked cross-attention on VMEM blocks; returns f32 [Nq, Cq].
+
+    kv_mask: [1, Nk] 0/1 validity of the key/value rows (padding)."""
+    Nq, C = q_in.shape
+    Nk, Cv = v_in.shape
+    dh = C // num_heads
+    dv = Cv // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dt = q_in.dtype
+
+    q = (jnp.dot(q_in, wq, preferred_element_type=jnp.float32)
+         + bq).astype(dt)
+    k = (jnp.dot(k_in, wk, preferred_element_type=jnp.float32)
+         + bk).astype(dt)
+    v = (jnp.dot(v_in, wv, preferred_element_type=jnp.float32)
+         + bv).astype(dt)
+    outs = []
+    for hd in range(num_heads):
+        q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
+        k_h = jax.lax.slice(k, (0, hd * dh), (Nk, (hd + 1) * dh))
+        v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [Nq, Nk]
+        m = jnp.max(s + (kv_mask - 1.0) * jnp.float32(-_NEG_INF),
+                    axis=-1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s - m, 0.0)) * kv_mask
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        o = jnp.dot(p.astype(dt), v_h, preferred_element_type=jnp.float32)
+        outs.append(o / r)
+    o = jnp.concatenate(outs, axis=-1).astype(dt)             # [Nq, Cv]
+    return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+
+
+def _ca_ffn_block(xq, k_in, v_in, g, b, w, kv_mask, num_heads, eps):
+    """AdaLN'd cross-attention + FFN (CoevoDecoder.py:66-89) on VMEM
+    blocks. ``g``/``b`` are 4 [1, C] AdaLN rows (normq/normk/normv/norm2);
+    ``w`` = (wq,bq,wk,bk,wv,bv,wproj,bproj,w1,bb1,w2,bb2)."""
+    (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = w
+    dt = xq.dtype
+    xqf = xq.astype(jnp.float32)
+    nq = _adaln_f32(xqf, g[0], b[0], eps).astype(dt)
+    nk = _adaln_f32(k_in.astype(jnp.float32), g[1], b[1], eps).astype(dt)
+    nv = _adaln_f32(v_in.astype(jnp.float32), g[2], b[2], eps).astype(dt)
+    a = _cross_attn_core(nq, nk, nv, wq, bq, wk, bk, wv, bv, wproj, bproj,
+                         kv_mask, num_heads)
+    x1 = xqf + a
+    h = _adaln_f32(x1, g[3], b[3], eps).astype(dt)
+    hh = jnp.dot(h, w1, preferred_element_type=jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
+    mo = jnp.dot(hh.astype(dt), w2,
+                 preferred_element_type=jnp.float32) + bb2
+    return x1 + mo
+
+
+def _sa_ffn_block(x, g, b, w, mask, num_heads, eps):
+    """AdaLN'd self-attention + FFN (= the fused_ada_block math) on a VMEM
+    block; ``g``/``b`` are 2 AdaLN rows, ``w`` = (wqkv,bqkv,wproj,bproj,
+    w1,bb1,w2,bb2). Returns f32."""
+    (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2) = w
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    h1 = _adaln_f32(xf, g[0], b[0], eps).astype(dt)
+    a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
+    x1 = xf + a
+    h2 = _adaln_f32(x1, g[1], b[1], eps).astype(dt)
+    hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
+    mo = jnp.dot(hh.astype(dt), w2,
+                 preferred_element_type=jnp.float32) + bb2
+    return x1 + mo
+
+
+# Slot order of the packed per-clip AdaLN γ/β stacks ([B, 12, C]).
+_COEVO_SLOTS = (
+    "ca_j.normq", "ca_j.normk", "ca_j.normv", "ca_j.norm2",
+    "ca_v.normq", "ca_v.normk", "ca_v.normv", "ca_v.norm2",
+    "sa_j.norm1", "sa_j.norm2", "sa_v.norm1", "sa_v.norm2",
+)
+
+
+def _coevo_kernel(jf_ref, vf_ref, gam_ref, bet_ref,
+                  jpos_ref, vpos_ref, jQ_ref, vQ_ref, v2jK_ref, j2vK_ref,
+                  wv2j_ref, bv2j_ref, wj2v_ref, bj2v_ref,
+                  *rest, num_heads_j: int, num_heads_v: int, eps: float):
+    caj_refs = rest[0:12]
+    cav_refs = rest[12:24]
+    saj_refs = rest[24:32]
+    sav_refs = rest[32:40]
+    jmask_sq_ref, vmask_sq_ref, jmask_row_ref, vmask_row_ref = rest[40:44]
+    jout_ref, vout_ref = rest[44:46]
+
+    dt = jf_ref.dtype
+    g = gam_ref[0]                                            # [12, C]
+    b = bet_ref[0]
+    C = g.shape[-1]
+
+    def gb(*slots):
+        gs = [jax.lax.slice(g, (s, 0), (s + 1, C)) for s in slots]
+        bs = [jax.lax.slice(b, (s, 0), (s + 1, C)) for s in slots]
+        return gs, bs
+
+    jf = (jf_ref[:].astype(jnp.float32) + jpos_ref[:]).astype(dt)
+    vf = (vf_ref[:].astype(jnp.float32) + vpos_ref[:]).astype(dt)
+    v_as_j = (jnp.dot(vf, wv2j_ref[:], preferred_element_type=jnp.float32)
+              + bv2j_ref[:] + v2jK_ref[:]).astype(dt)
+    j_as_v = (jnp.dot(jf, wj2v_ref[:], preferred_element_type=jnp.float32)
+              + bj2v_ref[:] + j2vK_ref[:]).astype(dt)
+    jq = (jf.astype(jnp.float32) + jQ_ref[:]).astype(dt)
+    vq = (vf.astype(jnp.float32) + vQ_ref[:]).astype(dt)
+
+    gs, bs = gb(0, 1, 2, 3)
+    joint1 = _ca_ffn_block(jq, v_as_j, vf, gs, bs,
+                           tuple(r[:] for r in caj_refs),
+                           vmask_row_ref[:], num_heads_j, eps)
+    gs, bs = gb(4, 5, 6, 7)
+    vertx1 = _ca_ffn_block(vq, j_as_v, jf, gs, bs,
+                           tuple(r[:] for r in cav_refs),
+                           jmask_row_ref[:], num_heads_v, eps)
+
+    gs, bs = gb(8, 9)
+    joint2 = _sa_ffn_block(joint1.astype(dt), gs, bs,
+                           tuple(r[:] for r in saj_refs),
+                           jmask_sq_ref[:], num_heads_j, eps)
+    gs, bs = gb(10, 11)
+    vertx2 = _sa_ffn_block(vertx1.astype(dt), gs, bs,
+                           tuple(r[:] for r in sav_refs),
+                           vmask_sq_ref[:], num_heads_v, eps)
+
+    jout_ref[:] = joint2.astype(jout_ref.dtype)
+    vout_ref[:] = vertx2.astype(vout_ref.dtype)
+
+
+def coevo_block_reference(jf0, vf0, gammas, betas, params,
+                          num_heads_j=8, num_heads_v=2, eps=1e-6):
+    """Pure-XLA reference of the fused CoevoBlock token program (VJP +
+    test oracle). jf0/vf0: [B, J, C]/[B, V, C] post-projection features;
+    gammas/betas: [B, 12, C] AdaLN stacks in _COEVO_SLOTS order."""
+    (jpos, vpos, jQ, vQ, v2jK, j2vK, wv2j, bv2j, wj2v, bj2v,
+     ca_j, ca_v, sa_j, sa_v) = params
+    dt = jf0.dtype
+
+    def adaln(x, slot):
+        return _adaln_f32(x.astype(jnp.float32),
+                          gammas[:, slot][:, None, :],
+                          betas[:, slot][:, None, :], eps).astype(dt)
+
+    def ca_ffn(xq, k_in, v_in, w, s0, heads):
+        (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = w
+        B, Nq, C = xq.shape
+        Nk, Cv = v_in.shape[1], v_in.shape[2]
+        dh, dv = C // heads, Cv // heads
+        q = (adaln(xq, s0) @ wq.astype(dt)) + bq.astype(dt)
+        k = (adaln(k_in, s0 + 1) @ wk.astype(dt)) + bk.astype(dt)
+        v = (adaln(v_in, s0 + 2) @ wv.astype(dt)) + bv.astype(dt)
+        q = q.reshape(B, Nq, heads, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Nk, heads, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Nk, heads, dv).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / math.sqrt(dh)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, Nq, Cv)
+        a = (o @ wproj.astype(dt)).astype(jnp.float32) + bproj
+        x1 = xq.astype(jnp.float32) + a
+        h = adaln(x1, s0 + 3)
+        hh = (h @ w1.astype(dt)).astype(jnp.float32) + bb1
+        hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+        mo = (hh.astype(dt) @ w2.astype(dt)).astype(jnp.float32) + bb2
+        return x1 + mo
+
+    def sa_ffn(x, w, s0, heads):
+        (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2) = w
+        h1 = adaln(x, s0)
+        a = mhsa_reference(h1, wqkv, bqkv, wproj, bproj, heads)
+        x1 = x.astype(jnp.float32) + a.astype(jnp.float32)
+        h2 = adaln(x1, s0 + 1)
+        hh = (h2 @ w1.astype(dt)).astype(jnp.float32) + bb1
+        hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+        mo = (hh.astype(dt) @ w2.astype(dt)).astype(jnp.float32) + bb2
+        return x1 + mo
+
+    jf = (jf0.astype(jnp.float32) + jpos[None]).astype(dt)
+    vf = (vf0.astype(jnp.float32) + vpos[None]).astype(dt)
+    v_as_j = ((vf @ wv2j.astype(dt)).astype(jnp.float32)
+              + bv2j + v2jK[None]).astype(dt)
+    j_as_v = ((jf @ wj2v.astype(dt)).astype(jnp.float32)
+              + bj2v + j2vK[None]).astype(dt)
+    jq = (jf.astype(jnp.float32) + jQ[None]).astype(dt)
+    vq = (vf.astype(jnp.float32) + vQ[None]).astype(dt)
+
+    joint1 = ca_ffn(jq, v_as_j, vf, ca_j, 0, num_heads_j)
+    vertx1 = ca_ffn(vq, j_as_v, jf, ca_v, 4, num_heads_v)
+    joint2 = sa_ffn(joint1.astype(dt), sa_j, 8, num_heads_j)
+    vertx2 = sa_ffn(vertx1.astype(dt), sa_v, 10, num_heads_v)
+    return joint2.astype(dt), vertx2.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_coevo_block(jf0, vf0, gammas, betas, params,
+                      num_heads_j=8, num_heads_v=2, eps=1e-6):
+    """Whole CoevoBlock token program, one kernel per clip.
+
+    Args:
+      jf0: [B, J, C] joint features (3→C projection applied outside).
+      vf0: [B, V, C] vertex features.
+      gammas/betas: [B, 12, C] per-clip AdaLN stacks (_COEVO_SLOTS order).
+      params: tuple (joint_pos [J,C], vertx_pos [V,C], jQ, vQ,
+        v2jK [V,C], j2vK [J,C], wv2j [C,C], bv2j, wj2v, bj2v,
+        ca_j 12-tuple, ca_v 12-tuple, sa_j 8-tuple, sa_v 8-tuple).
+
+    Returns:
+      (joint_feat [B, J, C], vertx_feat [B, V, C]) — post-SA features;
+      the dim→3 coordinate heads apply outside in f32.
+    """
+    return _fused_coevo_impl(jf0, vf0, gammas, betas, params,
+                             num_heads_j, num_heads_v, eps)
+
+
+def _fused_coevo_impl(jf0, vf0, gammas, betas, params,
+                      num_heads_j, num_heads_v, eps):
+    B, J, C = jf0.shape
+    V = vf0.shape[1]
+    dtype = jf0.dtype
+    (jpos, vpos, jQ, vQ, v2jK, j2vK, wv2j, bv2j, wj2v, bj2v,
+     ca_j, ca_v, sa_j, sa_v) = params
+
+    Jp, jmask_sq = _pad_tokens(J)
+    Vp, vmask_sq = _pad_tokens(V)
+    jmask_row = jmask_sq[:1]                                  # [1, Jp]
+    vmask_row = vmask_sq[:1]
+
+    def padrows(a, n):                                        # [N,C]→[n,C]
+        return jnp.pad(a, ((0, n - a.shape[0]), (0, 0))) \
+            if a.shape[0] != n else a
+
+    jf2 = (jnp.pad(jf0, ((0, 0), (0, Jp - J), (0, 0)))
+           if Jp != J else jf0).reshape(B * Jp, C)
+    vf2 = (jnp.pad(vf0, ((0, 0), (0, Vp - V), (0, 0)))
+           if Vp != V else vf0).reshape(B * Vp, C)
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    def wt(a):
+        return a.astype(dtype)
+
+    def ca_pack(w):
+        (wq, bq, wk, bk, wv_, bv_, wproj, bproj, w1, bb1, w2, bb2) = w
+        return [wt(wq), v(bq), wt(wk), v(bk), wt(wv_), v(bv_),
+                wt(wproj), v(bproj), wt(w1), v(bb1), wt(w2), v(bb2)]
+
+    def sa_pack(w):
+        (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2) = w
+        return [wt(wqkv), v(bqkv), wt(wproj), v(bproj),
+                wt(w1), v(bb1), wt(w2), v(bb2)]
+
+    jrows = pl.BlockSpec((Jp, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vrows = pl.BlockSpec((Vp, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cstack = pl.BlockSpec((1, 12, C), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    hid = ca_j[8].shape[1]
+    flops = B * (
+        # dim projections + CA qkv/proj + CA mlp (both directions)
+        2 * (Vp + Jp) * C * C * 4
+        + num_heads_j * 4 * Jp * Vp * (C // num_heads_j) * 2
+        + 4 * (Vp + Jp) * C * hid * 2
+        # SA blocks
+        + 2 * (Vp + Jp) * C * 4 * C
+        + num_heads_j * 4 * Jp * Jp * (C // num_heads_j)
+        + num_heads_v * 4 * Vp * Vp * (C // num_heads_v))
+
+    inputs = ([jf2, vf2,
+               gammas.astype(jnp.float32), betas.astype(jnp.float32),
+               padrows(jpos.astype(jnp.float32), Jp),
+               padrows(vpos.astype(jnp.float32), Vp),
+               padrows(jQ.astype(jnp.float32), Jp),
+               padrows(vQ.astype(jnp.float32), Vp),
+               padrows(v2jK.astype(jnp.float32), Vp),
+               padrows(j2vK.astype(jnp.float32), Jp),
+               wt(wv2j), v(bv2j), wt(wj2v), v(bj2v)]
+              + ca_pack(ca_j) + ca_pack(ca_v)
+              + sa_pack(sa_j) + sa_pack(sa_v)
+              + [jmask_sq, vmask_sq, jmask_row, vmask_row])
+    jout, vout = pl.pallas_call(
+        functools.partial(_coevo_kernel, num_heads_j=num_heads_j,
+                          num_heads_v=num_heads_v, eps=eps),
+        grid=(B,),
+        in_specs=[jrows, vrows, cstack, cstack] + [full] * (10 + 40 + 4),
+        out_specs=[jrows, vrows],
+        out_shape=[jax.ShapeDtypeStruct((B * Jp, C), dtype),
+                   jax.ShapeDtypeStruct((B * Vp, C), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * (jf2.size + vf2.size) * jf2.dtype.itemsize,
+            transcendentals=B * (num_heads_j * Jp * (Vp + Jp)
+                                 + num_heads_v * Vp * (Jp + Vp)
+                                 + 2 * (Jp + Vp) * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+    return (jout.reshape(B, Jp, C)[:, :J],
+            vout.reshape(B, Vp, C)[:, :V])
+
+
+def _fused_coevo_fwd(jf0, vf0, gammas, betas, params,
+                     num_heads_j, num_heads_v, eps):
+    return (_fused_coevo_impl(jf0, vf0, gammas, betas, params,
+                              num_heads_j, num_heads_v, eps),
+            (jf0, vf0, gammas, betas, params))
+
+
+def _fused_coevo_bwd(num_heads_j, num_heads_v, eps, res, g):
+    jf0, vf0, gammas, betas, params = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, p: coevo_block_reference(
+            a, b, c, d, p, num_heads_j, num_heads_v, eps),
+        jf0, vf0, gammas, betas, params)
+    return vjp(g)
+
+
+fused_coevo_block.defvjp(_fused_coevo_fwd, _fused_coevo_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused lifter trunk: ALL depth×(spatial, temporal) transformer blocks of
+# the Stage-1 lifter in ONE kernel, one clip per grid step.
+#
+# Key observation: for a single video clip, both attention patterns act
+# WITHIN the clip's [T, J] token grid — spatial attention couples tokens
+# of the same frame (row-block-diagonal mask), temporal attention couples
+# tokens of the same joint (stride-J mask). Laying the clip out as
+# R = T·J = 304 rows turns the reference's rearranges
+# (/root/reference/lib/models/PoseEstimation.py:85-107) into two STATIC
+# masks, so the whole trunk — 6 blocks, shared norm_s/norm_t, the
+# temporal pos-embed — runs without leaving VMEM: one HBM read and one
+# write of x for the entire trunk, ~B grid steps instead of ~6·(B·T/G),
+# and zero transposes.
+# ---------------------------------------------------------------------------
+
+
+def _lifter_masks(T: int, J: int):
+    import numpy as np
+
+    idx = np.arange(T * J)
+    frame = idx // J
+    joint = idx % J
+    spatial = (frame[:, None] == frame[None, :]).astype("float32")
+    temporal = (joint[:, None] == joint[None, :]).astype("float32")
+    return jnp.asarray(spatial), jnp.asarray(temporal)
+
+
+def _pre_norm_block(x, w, mask, num_heads, eps):
+    """Pre-norm transformer block on a VMEM row block; returns dtype(x)."""
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2) = w
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    h1 = _ln_f32(xf, g1, b1, eps).astype(dt)
+    a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
+    x1 = xf + a
+    h2 = _ln_f32(x1, g2, b2, eps).astype(dt)
+    hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
+    mo = jnp.dot(hh.astype(dt), w2,
+                 preferred_element_type=jnp.float32) + bb2
+    return (x1 + mo).astype(dt)
+
+
+def _lifter_trunk_kernel(x_ref, tpe_ref, smask_ref, tmask_ref, gs_ref,
+                         bs_ref, gt_ref, bt_ref, *rest, depth: int,
+                         num_heads: int, eps: float):
+    blk = [tuple(r[:] for r in rest[i * 12:(i + 1) * 12])
+           for i in range(2 * depth)]
+    out_ref = rest[2 * depth * 12]
+    smask = smask_ref[:]
+    tmask = tmask_ref[:]
+    gs, bs = gs_ref[:], bs_ref[:]
+    gt, bt = gt_ref[:], bt_ref[:]
+
+    x = x_ref[:]
+    dt = x.dtype
+    for i in range(depth):
+        x = _pre_norm_block(x, blk[2 * i], smask, num_heads, eps)
+        x = _ln_f32(x.astype(jnp.float32), gs, bs, eps).astype(dt)
+        if i == 0:
+            # Temporal pos-embed lands between the first spatial and
+            # temporal blocks (SpaTemHead, PoseEstimation.py:86-90).
+            x = (x.astype(jnp.float32) + tpe_ref[:]).astype(dt)
+        x = _pre_norm_block(x, blk[2 * i + 1], tmask, num_heads, eps)
+        x = _ln_f32(x.astype(jnp.float32), gt, bt, eps).astype(dt)
+    out_ref[:] = x.astype(out_ref.dtype)
+
+
+def lifter_trunk_reference(x, params, norm_s, norm_t, tpe, T, J, depth,
+                           num_heads, eps=1e-6, attn_fn=None):
+    """Pure-XLA reference of the trunk (VJP recompute + test oracle).
+
+    x: [B, T·J, C] embedded tokens; params: 2·depth 12-tuples (spatial_0,
+    temporal_0, spatial_1, ...); norm_s/norm_t: (scale, bias); tpe: [T, C]
+    temporal pos-embed. Mirrors PoseLifter's loop via reshapes."""
+    B, R, C = x.shape
+    dt = x.dtype
+    gs, bs = norm_s
+    gt, bt = norm_t
+
+    def block(x3, w, heads):
+        (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2) = w
+        h = _ln_ref(x3, g1, b1, eps).astype(dt)
+        if attn_fn is None:
+            a = mhsa_reference(h, wqkv, bqkv, wproj, bproj, heads)
+        else:
+            a = attn_fn(h, wqkv, bqkv, wproj, bproj, heads)
+        x1 = x3.astype(jnp.float32) + a.astype(jnp.float32)
+        h2 = _ln_ref(x1, g2, b2, eps).astype(dt)
+        hh = (h2 @ w1.astype(dt)).astype(jnp.float32) + bb1
+        hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+        mo = (hh.astype(dt) @ w2.astype(dt)).astype(jnp.float32) + bb2
+        return (x1 + mo).astype(dt)
+
+    x = x.reshape(B, T, J, C)
+    for i in range(depth):
+        xs = block(x.reshape(B * T, J, C), params[2 * i], num_heads)
+        xs = _ln_ref(xs, gs, bs, eps).astype(dt)
+        x = xs.reshape(B, T, J, C)
+        if i == 0:
+            x = (x.astype(jnp.float32)
+                 + tpe[None, :, None, :].astype(jnp.float32)).astype(dt)
+        xt = x.transpose(0, 2, 1, 3).reshape(B * J, T, C)
+        xt = block(xt, params[2 * i + 1], num_heads)
+        xt = _ln_ref(xt, gt, bt, eps).astype(dt)
+        x = xt.reshape(B, J, T, C).transpose(0, 2, 1, 3)
+    return x.reshape(B, R, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_lifter_trunk(x, params, norm_s, norm_t, tpe, T, J, depth,
+                       num_heads, eps=1e-6):
+    """The whole lifter trunk in one kernel (see module comment).
+
+    Args:
+      x: [B, T·J, C] embedded tokens, (t, j) row order.
+      params: tuple of 2·depth 12-tuples (spatial_i / temporal_i
+        interleaved), each (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+        ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2).
+      norm_s / norm_t: shared post-norm (scale, bias).
+      tpe: [T, C] temporal pos-embed.
+      T / J / depth / num_heads / eps: static config.
+
+    Returns:
+      [B, T·J, C] trunk output (pre-head), dtype of x.
+    """
+    return _fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J,
+                                    depth, num_heads, eps)
+
+
+def _fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J, depth,
+                             num_heads, eps):
+    B, R, C = x.shape
+    dtype = x.dtype
+    assert R == T * J and R % 8 == 0, (T, J, R)
+    smask, tmask = _lifter_masks(T, J)
+    tpe_rows = jnp.repeat(tpe.astype(jnp.float32), J, axis=0)  # [R, C]
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    flat = []
+    for w in params:
+        (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2) = w
+        flat += [v(g1), v(b1), wqkv.astype(dtype), v(bqkv),
+                 wproj.astype(dtype), v(bproj), v(g2), v(b2),
+                 w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2)]
+
+    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hid = params[0][8].shape[1]
+    dh = C // num_heads
+    flops = B * 2 * depth * (2 * R * C * 3 * C + num_heads * 4 * R * R * dh
+                             + 2 * R * C * C + 4 * R * C * hid)
+    out = pl.pallas_call(
+        functools.partial(_lifter_trunk_kernel, depth=depth,
+                          num_heads=num_heads, eps=eps),
+        grid=(B,),
+        in_specs=[rows] + [full] * (7 + len(flat)),
+        out_specs=rows,
+        out_shape=jax.ShapeDtypeStruct((B * R, C), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * R * C * x.dtype.itemsize,
+            transcendentals=B * 2 * depth * (num_heads * R * R + R * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x.reshape(B * R, C), tpe_rows, smask, tmask,
+      v(norm_s[0]), v(norm_s[1]), v(norm_t[0]), v(norm_t[1]), *flat)
+    return out.reshape(B, R, C)
+
+
+def _fused_trunk_fwd(x, params, norm_s, norm_t, tpe, T, J, depth,
+                     num_heads, eps):
+    return (_fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J,
+                                     depth, num_heads, eps),
+            (x, params, norm_s, norm_t, tpe))
+
+
+def _fused_trunk_bwd(T, J, depth, num_heads, eps, res, g):
+    """Backward via the XLA chain with attention routed through fused_mhsa
+    (Pallas attention backward carries the dominant cost)."""
+    x, params, norm_s, norm_t, tpe = res
+    _, vjp = jax.vjp(
+        lambda x, p, ns, nt, tp: lifter_trunk_reference(
+            x, p, ns, nt, tp, T, J, depth, num_heads, eps,
+            attn_fn=lambda h, wq, bq, wp, bp, nh: fused_mhsa(
+                h, wq, bq, wp, bp, nh)),
+        x, params, norm_s, norm_t, tpe)
+    return vjp(g)
+
+
+fused_lifter_trunk.defvjp(_fused_trunk_fwd, _fused_trunk_bwd)

@@ -318,3 +318,185 @@ def test_fused_ada_block_branch_masks():
                               branch_masks=masks)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+
+# ---------------------------------------------------------- fused GRU scan
+def test_fused_gru_layer_matches_reference():
+    from pmce_tpu.ops.fused_attention import (
+        fused_gru_layer,
+        gru_layer_scan_reference,
+    )
+
+    rng = np.random.default_rng(21)
+    T, B, H = 16, 8, 64
+    gi = jnp.asarray(rng.normal(size=(T, B, 3 * H)), jnp.float32)
+    whh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.2, jnp.float32)
+    bhh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.2, jnp.float32)
+    ys = fused_gru_layer(gi, whh, bhh)
+    ref = gru_layer_scan_reference(gi, whh, bhh)
+    assert ys.shape == (T, B, H)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gru_layer_gradients():
+    from pmce_tpu.ops.fused_attention import (
+        fused_gru_layer,
+        gru_layer_scan_reference,
+    )
+
+    rng = np.random.default_rng(22)
+    T, B, H = 6, 8, 32
+    gi = jnp.asarray(rng.normal(size=(T, B, 3 * H)), jnp.float32)
+    whh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.2, jnp.float32)
+    bhh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.2, jnp.float32)
+    g0 = jax.grad(lambda *a: jnp.sum(fused_gru_layer(*a) ** 2),
+                  argnums=(0, 1, 2))(gi, whh, bhh)
+    g1 = jax.grad(lambda *a: jnp.sum(gru_layer_scan_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(gi, whh, bhh)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_bigru_kernel_path_matches_scan():
+    """BiGRU under the bf16 policy (kernel path) must match the f32 scan
+    path within bf16 tolerance — same params, same inputs."""
+    from pmce_tpu.models.layers import BiGRU
+
+    rng = np.random.default_rng(23)
+    T, B, C, H = 16, 8, 48, 32
+    x = jnp.asarray(rng.normal(size=(T, B, C)), jnp.float32)
+    scan = BiGRU(hidden_dim=H, num_layers=2, dtype=None)
+    kern = BiGRU(hidden_dim=H, num_layers=2, dtype=jnp.bfloat16)
+    params = scan.init(jax.random.PRNGKey(0), x)
+    p2 = kern.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+    y0 = np.asarray(scan.apply(params, x), np.float32)
+    y1 = np.asarray(kern.apply(params, x), np.float32)
+    assert y0.shape == y1.shape == (T, B, 2 * H)
+    scale = np.abs(y0).max()
+    assert np.abs(y0 - y1).max() / scale < 0.05
+
+
+# ------------------------------------------------------ fused CoevoBlock
+def test_fused_coevo_block_matches_modular():
+    """CoevoBlock(fused=True, deterministic) — the whole-block kernel —
+    must equal CoevoBlock(fused=False) with shared params at reference
+    dims (19 joints, 431 vertices, dim 64, heads 8/2)."""
+    from pmce_tpu.models.coevo import CoevoBlock
+
+    rng = np.random.default_rng(31)
+    B, J, V = 3, 19, 431
+    joint = jnp.asarray(rng.normal(size=(B, J, 3)) * 0.5, jnp.float32)
+    vertx = jnp.asarray(rng.normal(size=(B, V, 3)) * 0.5, jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 96)), jnp.float32)
+    plain = CoevoBlock(J, V, fused=False)
+    fused = CoevoBlock(J, V, fused=True, whole_block_kernel=True)
+    params = plain.init(jax.random.PRNGKey(0), joint, vertx, cond)
+    p2 = fused.init(jax.random.PRNGKey(0), joint, vertx, cond)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    j0, v0 = plain.apply(params, joint, vertx, cond)
+    j1, v1 = fused.apply(params, joint, vertx, cond)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j0),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_fused_coevo_block_gradients_flow():
+    """Differentiating through the fused block (custom VJP recompute) must
+    match the modular path's gradients."""
+    from pmce_tpu.models.coevo import CoevoBlock
+
+    rng = np.random.default_rng(32)
+    B, J, V = 2, 19, 81
+    joint = jnp.asarray(rng.normal(size=(B, J, 3)) * 0.5, jnp.float32)
+    vertx = jnp.asarray(rng.normal(size=(B, V, 3)) * 0.5, jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 64)), jnp.float32)
+    plain = CoevoBlock(J, V, fused=False)
+    fused = CoevoBlock(J, V, fused=True, whole_block_kernel=True)
+    params = plain.init(jax.random.PRNGKey(0), joint, vertx, cond)
+
+    def loss(model):
+        def f(p):
+            jo, vo = model.apply(p, joint, vertx, cond)
+            return jnp.sum(jo ** 2) + jnp.sum(vo ** 2)
+        return f
+
+    g0 = jax.grad(loss(plain))(params)
+    g1 = jax.grad(loss(fused))(params)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(g0),
+                   key=lambda kv: jax.tree_util.keystr(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(g1),
+                   key=lambda kv: jax.tree_util.keystr(kv[0]))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=jax.tree_util.keystr(ka))
+
+
+# ------------------------------------------------------ fused lifter trunk
+def test_fused_lifter_trunk_matches_reference():
+    """The whole-trunk kernel (all blocks + shared norms + temporal
+    pos-embed, attention patterns as masks) vs the reshape/loop oracle."""
+    from pmce_tpu.ops.fused_attention import (
+        fused_lifter_trunk,
+        lifter_trunk_reference,
+    )
+
+    rng = np.random.default_rng(41)
+    B, T, J, C, H, depth = 2, 16, 19, 64, 4, 2
+    x = jnp.asarray(rng.normal(size=(B, T * J, C)), jnp.float32)
+
+    def w(*s):
+        return jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
+
+    params = tuple(
+        (w(C), w(C), w(C, 3 * C), w(3 * C), w(C, C), w(C), w(C), w(C),
+         w(C, 2 * C), w(2 * C), w(2 * C, C), w(C))
+        for _ in range(2 * depth))
+    norm_s = (w(C), w(C))
+    norm_t = (w(C), w(C))
+    tpe = w(T, C)
+    y = fused_lifter_trunk(x, params, norm_s, norm_t, tpe, T, J, depth, H)
+    ref = lifter_trunk_reference(x, params, norm_s, norm_t, tpe, T, J,
+                                 depth, H)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # Gradients flow through the custom VJP and match the oracle.
+    g0 = jax.grad(lambda x, p: jnp.sum(fused_lifter_trunk(
+        x, p, norm_s, norm_t, tpe, T, J, depth, H) ** 2),
+        argnums=(0, 1))(x, params)
+    g1 = jax.grad(lambda x, p: jnp.sum(lifter_trunk_reference(
+        x, p, norm_s, norm_t, tpe, T, J, depth, H) ** 2),
+        argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_lifter_bf16_trunk_matches_f32_modular():
+    """PoseLifter(dtype=bf16, fused) — the trunk path — vs the f32 modular
+    lifter with shared params, within bf16 tolerance (outputs are mm-scale
+    through the f32-pinned head)."""
+    from pmce_tpu.models.pose_lifter import PoseLifter
+
+    rng = np.random.default_rng(42)
+    B, T, J = 3, 16, 19
+    pose2d = jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(B, T, 512)), jnp.float32)
+    kw = dict(num_joints=J, num_frames=T, embed_dim=64, depth=3,
+              img_feat_dim=512)
+    plain = PoseLifter(**kw, fused_attn=False)
+    trunk = PoseLifter(**kw, fused_attn=True, dtype=jnp.bfloat16)
+    params = plain.init(jax.random.PRNGKey(0), pose2d, feat)
+    p2 = trunk.init(jax.random.PRNGKey(0), pose2d, feat)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    y0 = np.asarray(plain.apply(params, pose2d, feat), np.float32)
+    y1 = np.asarray(trunk.apply(params, pose2d, feat), np.float32)
+    scale = np.abs(y0).max()
+    assert np.abs(y0 - y1).max() / scale < 0.05

@@ -73,7 +73,7 @@ def main(dtype_name: str, B: int, fused: bool = False):
 
     dec = CoevolutionDecoder(num_joint=J, vj_relation=pmce.vj_relation,
                              num_vertx=431, num_verts_full=6890, seqlen=T,
-                             dtype=dtype)
+                             dtype=dtype, fused_attn=fused)
     bench_one("decoder", dec, (jnp.zeros((1, J, 3)), jnp.zeros((1, T, 2048))),
               (pose3d, img_feat))
 
