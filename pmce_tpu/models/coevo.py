@@ -223,6 +223,7 @@ class CoevolutionDecoder(nn.Module):
     seqlen: int = 16
     dtype: Any = None
     fused_attn: bool = False
+    whole_block_kernel: bool = False
 
     @nn.compact
     def __call__(self, joints: jax.Array, img_feats: jax.Array,
@@ -250,6 +251,7 @@ class CoevolutionDecoder(nn.Module):
             evo_pose, vertx = CoevoBlock(
                 self.num_joint, self.num_vertx, self.joint_dim,
                 self.vertx_dim, dtype=self.dtype, fused=self.fused_attn,
+                whole_block_kernel=self.whole_block_kernel,
                 name=f"coevoblock{i + 1}",
             )(joints, vertx, cond, deterministic)
 

@@ -65,6 +65,9 @@ class PMCE(nn.Module):
     # Route lifter self-attention through the fused short-sequence Pallas
     # kernel (ops/fused_attention.py). Same params/math; big TPU win.
     fused_attn: bool = False
+    # Run each CoevoBlock as ONE Pallas kernel (fused_coevo_block) instead
+    # of fused-SA + XLA-CA. Same param tree either way.
+    whole_block_kernel: bool = False
 
     def setup(self):
         self.pose_lifter = PoseLifter(
@@ -77,7 +80,9 @@ class PMCE(nn.Module):
             joint_dim=self.joint_dim, vertx_dim=self.vertx_dim,
             gru_hidden=self.gru_hidden,
             seqlen=self.seqlen, dtype=self.dtype,
-            fused_attn=self.fused_attn, name="pose_mesh_coevo")
+            fused_attn=self.fused_attn,
+            whole_block_kernel=self.whole_block_kernel,
+            name="pose_mesh_coevo")
 
     def __call__(self, pose2d: jax.Array, img_feat: jax.Array,
                  deterministic: bool = True):
@@ -171,7 +176,8 @@ def create_pmce(num_joint: int, art: SMPLArtifacts,
                 joint_regressor_h36m: np.ndarray | None = None,
                 embed_dim: int = 256, depth: int = 3,
                 seqlen: int = 16, dtype=None,
-                fused_attn: bool = False) -> tuple[PMCE, PMCEAssets]:
+                fused_attn: bool = False,
+                whole_block_kernel: bool = False) -> tuple[PMCE, PMCEAssets]:
     """Factory mirroring the reference's ``models.PMCE.get_model``."""
     assets = default_assets(art, coarsening, joint_regressor_h36m)
     model = PMCE(
@@ -179,6 +185,6 @@ def create_pmce(num_joint: int, art: SMPLArtifacts,
         vj_relation=assets.vj_relation,
         num_vertx=coarsening.sizes[-1],
         num_verts_full=art.num_verts, seqlen=seqlen, dtype=dtype,
-        fused_attn=fused_attn,
+        fused_attn=fused_attn, whole_block_kernel=whole_block_kernel,
     )
     return model, assets

@@ -68,9 +68,11 @@ def _pick_group(num_clips: int, tokens: int) -> int:
 def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
     """Masked MHSA on a VMEM-resident [R, C] row block; returns f32 [R, C].
 
-    The softmax is stabilized with the masked row max, masks
-    multiplicatively (one fused VPU pass instead of additive -inf plus
-    re-masking), and defers normalization to the [R, dh] head outputs.
+    The additive -inf mask is materialized ONCE per call and shared by
+    all heads; with the masked max as stabilizer, exp's argument stays
+    ≤ 0 (no overflow) and masked entries exp to exactly 0 — so the per-
+    head softmax needs neither a clamp nor a multiplicative re-mask
+    pass. Normalization is deferred to the [R, dh] head outputs.
     """
     R, C = h.shape
     dh = C // num_heads
@@ -78,6 +80,7 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
 
     qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv).astype(h.dtype)                   # [R, 3C]
+    logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)    # [R, R]
 
     outs = []
     for hd in range(num_heads):
@@ -87,16 +90,9 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
                           (R, 2 * C + (hd + 1) * dh))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [R, R] f32
-        # Stabilize with the TRUE max over VALID entries (additive mask):
-        # a multiplicative mask floors the max at 0, so a row whose valid
-        # logits were all very negative would underflow to a zero output
-        # instead of a softmax. min(·, 0) keeps fully-masked padding rows
-        # (valid max = -inf-ish) from overflowing exp; their probs are
-        # zeroed by the mask anyway.
-        m = jnp.max(s + (mask01 - 1.0) * jnp.float32(-_NEG_INF),
-                    axis=-1, keepdims=True)
-        p = jnp.exp(jnp.minimum(s - m, 0.0)) * mask01
+            preferred_element_type=jnp.float32) * scale + logmask
+        m = jnp.max(s, axis=-1, keepdims=True)           # true masked max
+        p = jnp.exp(s - m)
         # max(r, eps): fully-masked (padding) rows would divide by zero;
         # their outputs are sliced away by the caller.
         r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
@@ -980,7 +976,9 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
                      kv_mask, num_heads: int):
     """Masked cross-attention on VMEM blocks; returns f32 [Nq, Cq].
 
-    kv_mask: [1, Nk] 0/1 validity of the key/value rows (padding)."""
+    kv_mask: [1, Nk] 0/1 validity of the key/value rows (padding). The
+    additive key mask is materialized once and shared by all heads; with
+    the masked max as stabilizer no clamp or re-mask pass is needed."""
     Nq, C = q_in.shape
     Nk, Cv = v_in.shape
     dh = C // num_heads
@@ -994,6 +992,7 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
          + bk).astype(dt)
     v = (jnp.dot(v_in, wv, preferred_element_type=jnp.float32)
          + bv).astype(dt)
+    logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)        # [1, Nk]
     outs = []
     for hd in range(num_heads):
         q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
@@ -1001,10 +1000,9 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
         v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
         s = jax.lax.dot_general(
             q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale       # [Nq, Nk]
-        m = jnp.max(s + (kv_mask - 1.0) * jnp.float32(-_NEG_INF),
-                    axis=-1, keepdims=True)
-        p = jnp.exp(jnp.minimum(s - m, 0.0)) * kv_mask
+            preferred_element_type=jnp.float32) * scale + logmask  # [Nq,Nk]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
         r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         o = jnp.dot(p.astype(dt), v_h, preferred_element_type=jnp.float32)
         outs.append(o / r)

@@ -1,0 +1,130 @@
+"""One-off probe: ablation timing of the fused lifter trunk kernel.
+
+Times fused_lifter_trunk ALONE (B=256, T=16, J=19, C=256, depth 3, bf16)
+with pieces knocked out, to attribute the kernel's cost:
+
+  base       unmodified kernel
+  nogelu     GELU -> identity (removes erf poly: exp + divide on [R, hid])
+  nosoftmax  softmax -> plain masked scores (removes exp/max/div on [R, R])
+  onehead    num_heads=1 (dh=256: full-lane MXU score/AV matmuls)
+  noattn     attention core -> QKV+proj matmuls only (no score/AV/softmax)
+  noln       LayerNorm -> plain scale+bias (no mean/var/rsqrt passes)
+  matonly    noattn + nogelu + noln: the pure matmul chain
+
+Each variant runs in ITS OWN process (monkeypatching functions that are
+closed over by traced kernels is only safe before the first trace).
+
+Usage: python tools/probe_trunk.py [variant ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import subprocess
+import sys
+import time
+
+
+def run_variant(variant: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    import pmce_tpu.ops.fused_attention as fa
+
+    if variant == "nogelu":
+        fa._erf_f32 = lambda x: x  # GELU becomes ~linear; same op count shape
+    elif variant == "nosoftmax":
+        orig = fa._attn_core
+
+        def attn_nosm(h, wqkv, bqkv, wproj, bproj, mask01, num_heads):
+            R, C = h.shape
+            dh = C // num_heads
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            qkv = (qkv + bqkv).astype(h.dtype)
+            outs = []
+            for hd in range(num_heads):
+                q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+                k = jax.lax.slice(qkv, (0, C + hd * dh),
+                                  (R, C + (hd + 1) * dh))
+                v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                                  (R, 2 * C + (hd + 1) * dh))
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = s * mask01 * (1.0 / R)
+                o = jnp.dot(p.astype(h.dtype), v,
+                            preferred_element_type=jnp.float32)
+                outs.append(o)
+            o = jnp.concatenate(outs, axis=-1).astype(h.dtype)
+            return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_nosm
+    elif variant in ("noattn", "matonly"):
+        def attn_mm_only(h, wqkv, bqkv, wproj, bproj, mask01, num_heads):
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            o = (qkv[:, :h.shape[1]] + bqkv[:, :h.shape[1]]).astype(h.dtype)
+            return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_mm_only
+    if variant in ("noln", "matonly"):
+        fa._ln_f32 = lambda xf, scale, bias, eps: xf * scale + bias
+    if variant == "matonly":
+        fa._erf_f32 = lambda x: x
+
+    B, T, J, C, depth = 256, 16, 19, 256, 3
+    heads = 1 if variant == "onehead" else 8
+    R = T * J
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    def mk(*shape):
+        return jnp.asarray(rng.normal(size=shape, scale=0.02), dt)
+
+    params = tuple(
+        (mk(C), mk(C), mk(C, 3 * C), mk(3 * C), mk(C, C), mk(C),
+         mk(C), mk(C), mk(C, 2 * C), mk(2 * C), mk(2 * C, C), mk(C))
+        for _ in range(2 * depth))
+    norm = (mk(C), mk(C))
+    tpe = mk(T, C)
+    x = mk(B, R, C)
+
+    @jax.jit
+    def f(x):
+        y = fa.fused_lifter_trunk(x, params, norm, norm, tpe, T, J,
+                                  depth, heads)
+        return jnp.sum(y.astype(jnp.float32))
+
+    _ = float(f(x))
+    times = []
+    for _ in range(3):
+        acc = f(x) * 0.0
+        t0 = time.time()
+        for _ in range(16):
+            acc = acc + f(x)
+        _ = float(acc)
+        times.append((time.time() - t0) / 16 * 1000.0)
+    print(f"{variant:10s} {float(np.median(times)):7.2f} ms", flush=True)
+
+
+def main() -> None:
+    variants = sys.argv[2:] or ["base", "nogelu", "nosoftmax", "onehead",
+                                "noattn"]
+    for v in variants:
+        r = subprocess.run(
+            [sys.executable, __file__, "--run", v],
+            capture_output=True, text=True)
+        out = [l for l in r.stdout.splitlines() if "ms" in l]
+        print(out[0] if out else f"{v}: FAILED\n{r.stderr[-2000:]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        run_variant(sys.argv[2])
+    else:
+        main()
