@@ -63,8 +63,14 @@ class CoevoBlock(nn.Module):
 
     @nn.compact
     def __call__(self, joint: jax.Array, vertx: jax.Array, cond: jax.Array,
-                 deterministic: bool = True):
-        """joint: [B, J, 3]; vertx: [B, V, 3]; cond: [B, 2048]."""
+                 deterministic: bool = True, return_params: bool = False):
+        """joint: [B, J, 3]; vertx: [B, V, 3]; cond: [B, 2048].
+
+        ``return_params=True`` declares the block's FULL parameter tree
+        (identical names to the compute paths) and returns the packed
+        weights + per-clip AdaLN stacks for the whole-chain kernel
+        (ops/fused_coevo_chain.py) instead of computing.
+        """
         init = nn.initializers.normal(1.0)
         joint_pos = self.param("joint_pos_embed", init,
                                (1, self.num_joint, self.joint_dim))
@@ -78,6 +84,18 @@ class CoevoBlock(nn.Module):
                            (1, self.num_vertx, self.joint_dim))
         j2v_K = self.param("j2v_K_embed", init,
                            (1, self.num_joint, self.vertx_dim))
+
+        if return_params:
+            wjp, bjp = DenseParams(3, self.joint_dim, name="joint_proj")()
+            wvp, bvp = DenseParams(3, self.vertx_dim, name="vertx_proj")()
+            gammas, betas, params = self._kernel_pack(
+                cond, joint_pos, vertx_pos, j_Q, v_Q, v2j_K, j2v_K)
+            whj, bhj = DenseParams(self.joint_dim, 3,
+                                   name="proj_joint_feat2coor")()
+            whv, bhv = DenseParams(self.vertx_dim, 3,
+                                   name="proj_vertx_feat2coor")()
+            return (wjp, bjp, wvp, bvp, gammas, betas, params,
+                    whj, bhj, whv, bhv)
 
         joint_feat = nn.Dense(self.joint_dim, dtype=self.dtype,
                               name="joint_proj")(joint)
@@ -143,15 +161,11 @@ class CoevoBlock(nn.Module):
         )
         return joint_out, vertx_out
 
-    def _fused_block(self, joint, vertx, joint_feat, vertx_feat,
-                     joint_pos, vertx_pos, j_Q, v_Q, v2j_K, j2v_K, cond):
-        """Inference path: one fused_coevo_block kernel call per clip.
-
-        Parameters are declared through the unapplied holders so the tree
-        is IDENTICAL to the modular path (checkpoints interchangeable)."""
-        from pmce_tpu.ops.fused_attention import fused_coevo_block
-
-        dt = self.dtype or joint_feat.dtype
+    def _kernel_pack(self, cond, joint_pos, vertx_pos, j_Q, v_Q,
+                     v2j_K, j2v_K):
+        """Declare the CA/SA weight holders (tree identical to the modular
+        path) and return the per-clip AdaLN stacks + the 14-tuple the
+        fused kernels consume (ops.fused_attention._COEVO_SLOTS order)."""
         cd = cond.shape[-1]
         caj_gb, caj_w = CrossAttentionBlockParams(
             self.joint_dim, self.joint_dim, self.vertx_dim, cd,
@@ -172,7 +186,6 @@ class CoevoBlock(nn.Module):
         wj2v, bj2v = DenseParams(self.joint_dim, self.vertx_dim,
                                  name="proj_j2v_dim")()
 
-        # AdaLN stacks in ops.fused_attention._COEVO_SLOTS order.
         gammas = jnp.stack(
             [caj_gb[0], caj_gb[2], caj_gb[4], caj_gb[6],
              cav_gb[0], cav_gb[2], cav_gb[4], cav_gb[6],
@@ -185,6 +198,19 @@ class CoevoBlock(nn.Module):
         params = (joint_pos[0], vertx_pos[0], j_Q[0], v_Q[0],
                   v2j_K[0], j2v_K[0], wv2j, bv2j, wj2v, bj2v,
                   caj_w, cav_w, saj_w, sav_w)
+        return gammas, betas, params
+
+    def _fused_block(self, joint, vertx, joint_feat, vertx_feat,
+                     joint_pos, vertx_pos, j_Q, v_Q, v2j_K, j2v_K, cond):
+        """Inference path: one fused_coevo_block kernel call per clip.
+
+        Parameters are declared through the unapplied holders so the tree
+        is IDENTICAL to the modular path (checkpoints interchangeable)."""
+        from pmce_tpu.ops.fused_attention import fused_coevo_block
+
+        dt = self.dtype or joint_feat.dtype
+        gammas, betas, params = self._kernel_pack(
+            cond, joint_pos, vertx_pos, j_Q, v_Q, v2j_K, j2v_K)
         jf_out, vf_out = fused_coevo_block(
             joint_feat.astype(dt), vertx_feat.astype(dt), gammas, betas,
             params, self.joint_heads, self.vertx_heads)
@@ -246,14 +272,36 @@ class CoevolutionDecoder(nn.Module):
 
         # Every block re-consumes the ORIGINAL lifted joints (reference
         # quirk); only vertices evolve through the chain.
-        evo_pose = joints
-        for i in range(self.num_blocks):
-            evo_pose, vertx = CoevoBlock(
-                self.num_joint, self.num_vertx, self.joint_dim,
-                self.vertx_dim, dtype=self.dtype, fused=self.fused_attn,
-                whole_block_kernel=self.whole_block_kernel,
-                name=f"coevoblock{i + 1}",
-            )(joints, vertx, cond, deterministic)
+        blocks = [CoevoBlock(
+            self.num_joint, self.num_vertx, self.joint_dim,
+            self.vertx_dim, dtype=self.dtype, fused=self.fused_attn,
+            whole_block_kernel=self.whole_block_kernel,
+            name=f"coevoblock{i + 1}") for i in range(self.num_blocks)]
+
+        if (self.fused_attn and deterministic
+                and not self.whole_block_kernel
+                and self.joint_dim == self.vertx_dim):
+            # Inference: the WHOLE three-block chain + coordinate heads in
+            # one Pallas kernel (ops/fused_coevo_chain.py) — streams stay
+            # VMEM-resident across all blocks, G clips per grid step.
+            from pmce_tpu.ops.fused_coevo_chain import fused_coevo_chain
+
+            dt = self.dtype or joints.dtype
+            packs = [b(joints, vertx, cond, True, return_params=True)
+                     for b in blocks]
+            gammas = jnp.stack([p[4] for p in packs], axis=1)
+            betas = jnp.stack([p[5] for p in packs], axis=1)
+            chain_blocks = tuple(
+                (p[0].astype(dt), p[1], p[2].astype(dt), p[3], p[6],
+                 p[7], p[8], p[9], p[10]) for p in packs)
+            evo_pose, vertx = fused_coevo_chain(
+                joints.astype(jnp.float32), vertx.astype(jnp.float32),
+                gammas, betas, chain_blocks,
+                blocks[0].joint_heads, blocks[0].vertx_heads)
+        else:
+            evo_pose = joints
+            for blk in blocks:
+                evo_pose, vertx = blk(joints, vertx, cond, deterministic)
 
         # Conv1d(431→6890, k=3, pad 1) over the coordinate axis: treat the
         # 431 vertices as channels and x/y/z as the length-3 spatial dim.

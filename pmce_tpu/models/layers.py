@@ -605,8 +605,14 @@ class CrossAttentionBlock(nn.Module):
                            name="attn")(nq, nk, nv, deterministic)
         xq = xq + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
         h = AdaLayerNorm(self.q_dim, dtype=self.dtype, name="norm2")(xq, cond)
+        # Flatten to 2D around the MLP: on TPU, XLA lowers the batched
+        # [B, N, C] @ [C, hid] form of these small-feature streams through
+        # a windowed-convolution emitter with batch-in-lanes layout (~16×
+        # slower than the plain matmul); [B·N, C] gets the clean emitter.
+        B, N, _ = h.shape
         h = Mlp(int(self.q_dim * self.mlp_ratio), self.q_dim, self.drop,
-                dtype=self.dtype, name="mlp")(h, deterministic)
+                dtype=self.dtype, name="mlp")(
+                    h.reshape(B * N, -1), deterministic).reshape(B, N, -1)
         xq = xq + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
         return xq
 

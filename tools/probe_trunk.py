@@ -75,6 +75,44 @@ def run_variant(variant: str) -> None:
         fa._ln_f32 = lambda xf, scale, bias, eps: xf * scale + bias
     if variant == "matonly":
         fa._erf_f32 = lambda x: x
+    if variant == "gelubf16":
+        orig_erf = fa._erf_f32
+        fa._erf_f32 = lambda x: orig_erf(x.astype(jnp.bfloat16)) \
+            .astype(jnp.float32)
+    if variant == "expbf16":
+        # softmax exp on bf16 inputs (tests VPU bf16 packing for exp)
+        orig_attn = fa._attn_core
+
+        def attn_expbf16(h, wqkv, bqkv, wproj, bproj, mask01, num_heads):
+            R, C = h.shape
+            dh = C // num_heads
+            import math as _m
+            scale = 1.0 / _m.sqrt(dh)
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            qkv = (qkv + bqkv).astype(h.dtype)
+            logmask = (mask01 - 1.0) * jnp.float32(-fa._NEG_INF * 0 + 30.0)
+            outs = []
+            for hd in range(num_heads):
+                q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+                k = jax.lax.slice(qkv, (0, C + hd * dh),
+                                  (R, C + (hd + 1) * dh))
+                v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                                  (R, 2 * C + (hd + 1) * dh))
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale - logmask
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp((s - m).astype(jnp.bfloat16))
+                r = jnp.maximum(
+                    jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                    1e-30)
+                o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+                outs.append(o / r)
+            o = jnp.concatenate(outs, axis=-1).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_expbf16
 
     B, T, J, C, depth = 256, 16, 19, 256, 3
     heads = 1 if variant == "onehead" else 8
