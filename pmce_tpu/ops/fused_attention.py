@@ -80,8 +80,11 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
 
     qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv).astype(h.dtype)                   # [R, 3C]
-    logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)    # [R, R]
     bf16 = h.dtype == jnp.bfloat16
+    if bf16:
+        maskb = mask01.astype(jnp.bfloat16)              # one [R, R] pass
+    else:
+        logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [R, R]
 
     outs = []
     for hd in range(num_heads):
@@ -89,20 +92,28 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
         k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
         v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
                           (R, 2 * C + (hd + 1) * dh))
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + logmask
         if bf16:
-            # bf16 serving path: the VPU packs bf16 2-per-lane, so exp
-            # runs at twice the f32 rate — and a static ±30 clamp (f32
-            # compare, then the convert) replaces the max-stabilizer
-            # entirely: softmax ratios need no shift, exp(±30) is finite
-            # in bf16, masked entries (-1e30 → -30) decay to ~1e-13 of
-            # any valid weight. exp's bf16 argument quantizes scores at
-            # ~0.2% — the same order as the bf16 rounding of v itself.
-            p = jnp.exp(jnp.clip(s, -30.0, 30.0).astype(jnp.bfloat16))
+            # bf16 serving path: every [R, R]-extent op is the enemy (the
+            # score stage is VPU-bound, not MXU-bound), so the score
+            # matrix is touched as few times as possible: the 1/sqrt(dh)
+            # scale rides on the [R, dh] q slice, the f32 MXU output is
+            # converted once (Mosaic requires 32-bit matmul acc), and
+            # everything after runs packed-bf16 2-per-lane with
+            # MULTIPLICATIVE masking AFTER exp (exp(min(s, 30)) is
+            # finite; masked entries become exactly 0). The static min-30
+            # clamp replaces the max-stabilizer: softmax ratios need no
+            # shift, and exp's bf16 argument quantizes scores at ~0.2% —
+            # the same order as the bf16 rounding of v itself.
+            s = jax.lax.dot_general(
+                q * jnp.bfloat16(scale), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                    jnp.bfloat16(30.0))) * maskb
             r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + logmask
             m = jnp.max(s, axis=-1, keepdims=True)       # true masked max
             p = jnp.exp(s - m).astype(h.dtype)
             r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
@@ -110,8 +121,68 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
         # their outputs are sliced away by the caller.
         r = jnp.maximum(r, 1e-30)
         o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        outs.append(o / r)                                # deferred softmax ÷
+        outs.append(o * jnp.reciprocal(r))        # deferred softmax, [R,1] recip
     o = jnp.concatenate(outs, axis=-1).astype(h.dtype)   # [R, C]
+    return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
+
+
+def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
+                        G: int):
+    """MHSA on [G·N, C] stacked clip rows with PER-CLIP score buffers.
+
+    Same math as :func:`_attn_core` per clip; the dense QKV / output
+    projections batch over all G clips (fewer, fatter ops — the per-op
+    issue overhead dominates these kernels), while the score/softmax/AV
+    stage slices each clip's rows (sublane slices — N is a multiple of 8)
+    so the [N, N] buffers never grow with G.
+    ``mask01``: single-clip [N, N] mask.
+    """
+    R, C = h.shape
+    N = R // G
+    dh = C // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    bf16 = h.dtype == jnp.bfloat16
+
+    qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv).astype(h.dtype)                    # [G·N, 3C]
+    if bf16:
+        maskb = mask01.astype(jnp.bfloat16)               # [N, N]
+    else:
+        logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [N, N]
+
+    head_outs = []
+    for hd in range(num_heads):
+        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                          (R, 2 * C + (hd + 1) * dh))
+        clip_outs = []
+        for g in range(G):
+            qg = jax.lax.slice(q, (g * N, 0), ((g + 1) * N, dh))
+            kg = jax.lax.slice(k, (g * N, 0), ((g + 1) * N, dh))
+            vg = jax.lax.slice(v, (g * N, 0), ((g + 1) * N, dh))
+            if bf16:
+                # Minimal-pass [N, N] score stage (scale on the q slice,
+                # one f32→bf16 convert, multiplicative post-exp mask) —
+                # rationale in _attn_core.
+                s = jax.lax.dot_general(
+                    qg * jnp.bfloat16(scale), kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                        jnp.bfloat16(30.0))) * maskb
+            else:
+                s = jax.lax.dot_general(
+                    qg, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale + logmask
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m).astype(h.dtype)
+            r = jnp.maximum(
+                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                1e-30)
+            o = jnp.dot(p, vg, preferred_element_type=jnp.float32)
+            clip_outs.append(o * jnp.reciprocal(r))
+        head_outs.append(jnp.concatenate(clip_outs, axis=0))  # [G·N, dh]
+    o = jnp.concatenate(head_outs, axis=-1).astype(h.dtype)   # [G·N, C]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
 
 
@@ -152,10 +223,15 @@ def _gelu(hh, dtype):
 
 
 def _ln_f32(xf, scale, bias, eps):
-    """LayerNorm on an f32 [R, C] block (f32 stats, like flax)."""
+    """LayerNorm on an f32 [R, C] block (f32 stats, like flax).
+
+    Stats come from ONE pair of fused multiply-reduce passes
+    (E[x²] − E[x]², instead of jnp.var's centered second pass): the
+    kernels are VPU-bound, and the ~1e-5 absolute var difference at
+    residual-stream magnitudes is far below every test tolerance."""
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    return (xf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
 
 
 def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -691,8 +767,12 @@ def _adaln_f32(xf, gamma, beta, eps):
     OUTSIDE the sqrt (CoevoDecoder.py:24-29). γ/β broadcast rows."""
     C = xf.shape[-1]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True) * (C / (C - 1))
-    return gamma * (xf - mean) / (jnp.sqrt(var) + eps) + beta
+    var = (jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean) \
+        * (C / (C - 1))
+    # Single-pass stats + reciprocal-multiply (vs a [R, C] divide): the
+    # inverse is a [R, 1] column, so the divide collapses C-fold.
+    inv = jnp.reciprocal(jnp.sqrt(var) + eps)
+    return gamma * ((xf - mean) * inv) + beta
 
 
 def _ada_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -1022,27 +1102,35 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
          + bk).astype(dt)
     v = (jnp.dot(v_in, wv, preferred_element_type=jnp.float32)
          + bv).astype(dt)
-    logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)        # [1, Nk]
     bf16 = dt == jnp.bfloat16
+    if bf16:
+        maskb = kv_mask.astype(jnp.bfloat16)                  # [1, Nk]
+    else:
+        logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)    # [1, Nk]
     outs = []
     for hd in range(num_heads):
         q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
         k_h = jax.lax.slice(k, (0, hd * dh), (Nk, (hd + 1) * dh))
         v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
-        s = jax.lax.dot_general(
-            q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + logmask  # [Nq,Nk]
         if bf16:
-            # Packed-bf16 softmax with a static clamp as stabilizer — see
-            # the rationale in _attn_core.
-            p = jnp.exp(jnp.clip(s, -30.0, 30.0).astype(jnp.bfloat16))
+            # Minimal-pass [Nq, Nk] score stage (scale on the q slice,
+            # one f32→bf16 convert, multiplicative post-exp mask) —
+            # rationale in _attn_core.
+            s = jax.lax.dot_general(
+                q_h * jnp.bfloat16(scale), k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                    jnp.bfloat16(30.0))) * maskb
         else:
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + logmask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m).astype(dt)
         r = jnp.maximum(
             jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-30)
         o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
-        outs.append(o / r)
+        outs.append(o * jnp.reciprocal(r))
     o = jnp.concatenate(outs, axis=-1).astype(dt)             # [Nq, Cv]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
 
@@ -1365,13 +1453,21 @@ def _lifter_masks(T: int, J: int):
     return jnp.asarray(spatial), jnp.asarray(temporal)
 
 
-def _pre_norm_block(x, w, mask, num_heads, eps):
-    """Pre-norm transformer block on a VMEM row block; returns dtype(x)."""
+def _pre_norm_block(x, w, mask, num_heads, eps, G=1):
+    """Pre-norm transformer block on a VMEM row block; returns dtype(x).
+
+    With ``G`` > 1, ``x`` holds G clips' token rows stacked ([G·N, C]):
+    the dense projections/MLP batch over all clips (fewer, fatter ops),
+    while attention loops per clip against the single-clip ``mask``."""
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2) = w
     dt = x.dtype
     xf = x.astype(jnp.float32)
     h1 = _ln_f32(xf, g1, b1, eps).astype(dt)
-    a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
+    if G == 1:
+        a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
+    else:
+        a = _attn_core_cliploop(h1, wqkv, bqkv, wproj, bproj, mask,
+                                num_heads, G)
     x1 = xf + a
     h2 = _ln_f32(x1, g2, b2, eps).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
@@ -1382,7 +1478,7 @@ def _pre_norm_block(x, w, mask, num_heads, eps):
 
 def _lifter_trunk_kernel(x_ref, tpe_ref, smask_ref, tmask_ref, gs_ref,
                          bs_ref, gt_ref, bt_ref, *rest, depth: int,
-                         num_heads: int, eps: float):
+                         num_heads: int, eps: float, G: int = 1):
     blk = [tuple(r[:] for r in rest[i * 12:(i + 1) * 12])
            for i in range(2 * depth)]
     out_ref = rest[2 * depth * 12]
@@ -1390,17 +1486,21 @@ def _lifter_trunk_kernel(x_ref, tpe_ref, smask_ref, tmask_ref, gs_ref,
     tmask = tmask_ref[:]
     gs, bs = gs_ref[:], bs_ref[:]
     gt, bt = gt_ref[:], bt_ref[:]
+    tpe = tpe_ref[:]                                      # [R, C] f32
+    if G > 1:
+        tpe = jnp.broadcast_to(tpe[None], (G,) + tpe.shape).reshape(
+            G * tpe.shape[0], tpe.shape[1])
 
     x = x_ref[:]
     dt = x.dtype
     for i in range(depth):
-        x = _pre_norm_block(x, blk[2 * i], smask, num_heads, eps)
+        x = _pre_norm_block(x, blk[2 * i], smask, num_heads, eps, G)
         x = _ln_f32(x.astype(jnp.float32), gs, bs, eps).astype(dt)
         if i == 0:
             # Temporal pos-embed lands between the first spatial and
             # temporal blocks (SpaTemHead, PoseEstimation.py:86-90).
-            x = (x.astype(jnp.float32) + tpe_ref[:]).astype(dt)
-        x = _pre_norm_block(x, blk[2 * i + 1], tmask, num_heads, eps)
+            x = (x.astype(jnp.float32) + tpe).astype(dt)
+        x = _pre_norm_block(x, blk[2 * i + 1], tmask, num_heads, eps, G)
         x = _ln_f32(x.astype(jnp.float32), gt, bt, eps).astype(dt)
     out_ref[:] = x.astype(out_ref.dtype)
 
@@ -1473,6 +1573,10 @@ def _fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J, depth,
     dtype = x.dtype
     assert R == T * J and R % 8 == 0, (T, J, R)
     smask, tmask = _lifter_masks(T, J)
+    if dtype == jnp.bfloat16:
+        # Masks ride to VMEM in the compute dtype (halves footprint and
+        # saves the in-kernel convert copy; see _attn_core's bf16 path).
+        smask, tmask = smask.astype(dtype), tmask.astype(dtype)
     tpe_rows = jnp.repeat(tpe.astype(jnp.float32), J, axis=0)  # [R, C]
 
     def v(a):
@@ -1485,7 +1589,16 @@ def _fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J, depth,
                  wproj.astype(dtype), v(bproj), v(g2), v(b2),
                  w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2)]
 
-    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Clips per grid step: the dominant non-matmul cost is per-op issue
+    # overhead, so dense/LN/MLP ops batch G clips ([G·R, C] rows) while
+    # attention keeps per-clip [R, R] buffers (_attn_core_cliploop).
+    # G=2 keeps peak VMEM (~6.3 MB weights + activations) under budget.
+    G = int(os.environ.get("PMCE_TPU_TRUNK_G", "1"))
+    while B % G:
+        G //= 2
+    G = max(G, 1)
+    rows = pl.BlockSpec((G * R, C), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     hid = params[0][8].shape[1]
     dh = C // num_heads
@@ -1493,8 +1606,8 @@ def _fused_lifter_trunk_impl(x, params, norm_s, norm_t, tpe, T, J, depth,
                              + 2 * R * C * C + 4 * R * C * hid)
     out = pl.pallas_call(
         functools.partial(_lifter_trunk_kernel, depth=depth,
-                          num_heads=num_heads, eps=eps),
-        grid=(B,),
+                          num_heads=num_heads, eps=eps, G=G),
+        grid=(B // G,),
         in_specs=[rows] + [full] * (7 + len(flat)),
         out_specs=rows,
         out_shape=jax.ShapeDtypeStruct((B * R, C), dtype),

@@ -42,6 +42,7 @@ from pmce_tpu.ops.fused_attention import (
     _NEG_INF,
     _adaln_f32,
     _attn_core,
+    _attn_core_cliploop,
     _cross_attn_core,
     _gelu,
     _pad_tokens,
@@ -49,55 +50,6 @@ from pmce_tpu.ops.fused_attention import (
 )
 
 _COORD_LANES = 8  # xyz padded to a full sublane-tile lane group
-
-
-def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
-                        G: int):
-    """MHSA on [G·N, C] stacked clip rows with PER-CLIP score buffers.
-
-    Same math as :func:`fused_attention._attn_core` per clip; the dense
-    QKV / output projections batch over all G clips, while the
-    score/softmax/AV stage slices each clip's rows (sublane slices — N is
-    a multiple of 16) so the [N, N] buffers never grow with G.
-    ``mask01``: single-clip [N, N] mask.
-    """
-    R, C = h.shape
-    N = R // G
-    dh = C // num_heads
-    scale = 1.0 / math.sqrt(dh)
-    bf16 = h.dtype == jnp.bfloat16
-
-    qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv).astype(h.dtype)                    # [G·N, 3C]
-    logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)     # [N, N]
-
-    head_outs = []
-    for hd in range(num_heads):
-        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
-        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
-        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
-                          (R, 2 * C + (hd + 1) * dh))
-        clip_outs = []
-        for g in range(G):
-            qg = jax.lax.slice(q, (g * N, 0), ((g + 1) * N, dh))
-            kg = jax.lax.slice(k, (g * N, 0), ((g + 1) * N, dh))
-            vg = jax.lax.slice(v, (g * N, 0), ((g + 1) * N, dh))
-            s = jax.lax.dot_general(
-                qg, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + logmask
-            if bf16:
-                p = jnp.exp(jnp.clip(s, -30.0, 30.0).astype(jnp.bfloat16))
-            else:
-                m = jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s - m).astype(h.dtype)
-            r = jnp.maximum(
-                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
-                1e-30)
-            o = jnp.dot(p, vg, preferred_element_type=jnp.float32)
-            clip_outs.append(o / r)
-        head_outs.append(jnp.concatenate(clip_outs, axis=0))  # [G·N, dh]
-    o = jnp.concatenate(head_outs, axis=-1).astype(h.dtype)   # [G·N, C]
-    return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
 
 
 def _expand_clip_rows(vec, G: int, N: int):
@@ -324,12 +276,17 @@ def _chain_impl(joints, vertx, gammas, betas, blocks,
     vjg = np.tile(vj, G)
     vvg = np.tile(vv, G)
 
+    # Masks ride to VMEM in the compute dtype: under bf16 that halves
+    # their footprint AND saves the in-kernel f32→bf16 convert copy (the
+    # [Vp, Vp] pair alone is ~1.1 MB of scoped VMEM at f32).
+    mdt = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+
     def bd(cq, ck, vq, vk):
-        return jnp.asarray((cq[:, None] == ck[None, :])
-                           * vq[:, None] * vk[None, :])
+        return jnp.asarray(((cq[:, None] == ck[None, :])
+                            * vq[:, None] * vk[None, :]).astype("f"), mdt)
 
     jsa_mask = bd(cj, cj, vjg, vjg)                       # [G·Jp, G·Jp]
-    vsa_mask = jnp.asarray(vv[:, None] * vv[None, :])     # [Vp, Vp]
+    vsa_mask = jnp.asarray(vv[:, None] * vv[None, :], mdt)  # [Vp, Vp]
     jca_mask = bd(cj, cv, vjg, vvg)                       # [G·Jp, G·Vp]
     vca_mask = bd(cv, cj, vvg, vjg)                       # [G·Vp, G·Jp]
 

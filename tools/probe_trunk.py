@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import subprocess
 import sys
 import time
@@ -113,6 +114,112 @@ def run_variant(variant: str) -> None:
                            preferred_element_type=jnp.float32) + bproj
 
         fa._attn_core = attn_expbf16
+    if variant in ("noexp", "nomask", "nosum", "noscoremm", "noav"):
+        # Piecewise knockouts of the CURRENT bf16 branch (post round-3
+        # rewrite: q-side scale, one f32→bf16 convert, multiplicative
+        # post-exp mask) to attribute the in-kernel attention cost.
+        import math as _m
+
+        def attn_piece(h, wqkv, bqkv, wproj, bproj, mask01, num_heads,
+                       variant=variant):
+            R, C = h.shape
+            dh = C // num_heads
+            scale = 1.0 / _m.sqrt(dh)
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            qkv = (qkv + bqkv).astype(h.dtype)
+            maskb = mask01.astype(jnp.bfloat16)
+            outs = []
+            for hd in range(num_heads):
+                q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+                k = jax.lax.slice(qkv, (0, C + hd * dh),
+                                  (R, C + (hd + 1) * dh))
+                v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                                  (R, 2 * C + (hd + 1) * dh))
+                if variant == "noscoremm":
+                    p = maskb
+                else:
+                    s = jax.lax.dot_general(
+                        q * jnp.bfloat16(scale), k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    sb = jnp.minimum(s.astype(jnp.bfloat16),
+                                     jnp.bfloat16(30.0))
+                    if variant == "noexp":
+                        p = sb * maskb
+                    elif variant == "nomask":
+                        p = jnp.exp(sb)
+                    else:
+                        p = jnp.exp(sb) * maskb
+                if variant == "nosum":
+                    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    outs.append(o)
+                elif variant == "noav":
+                    r = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1,
+                                            keepdims=True), 1e-30)
+                    outs.append(q.astype(jnp.float32) * jnp.reciprocal(r))
+                else:
+                    r = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1,
+                                            keepdims=True), 1e-30)
+                    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+                    outs.append(o * jnp.reciprocal(r))
+            o = jnp.concatenate(outs, axis=-1).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_piece
+    if variant in ("pretk", "bf16out", "pretk_bf16out"):
+        # pretk: ONE [304,256]→[256,304] k transpose per block, per-head
+        #   SUBLANE slices, standard-layout score matmuls (tests whether
+        #   the shipped ((1,),(1,)) dot's implicit per-head k relayout is
+        #   the 3.4 ms the knockouts attribute to the score stage).
+        # bf16out: score matmul emits bf16 directly (drops the [R, R]
+        #   f32→bf16 convert pass).
+        import math as _m
+
+        def attn_try(h, wqkv, bqkv, wproj, bproj, mask01, num_heads,
+                     variant=variant):
+            R, C = h.shape
+            dh = C // num_heads
+            scale = 1.0 / _m.sqrt(dh)
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            qkv = (qkv + bqkv).astype(h.dtype)
+            maskb = mask01.astype(jnp.bfloat16)
+            pret = variant.startswith("pretk")
+            bfout = variant.endswith("bf16out")
+            if pret:
+                kt = jnp.transpose(
+                    jax.lax.slice(qkv, (0, C), (R, 2 * C)))   # [C, R]
+            outs = []
+            for hd in range(num_heads):
+                q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+                v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                                  (R, 2 * C + (hd + 1) * dh))
+                qs = q * jnp.bfloat16(scale)
+                if pret:
+                    kth = jax.lax.slice(kt, (hd * dh, 0),
+                                        ((hd + 1) * dh, R))
+                    s = jax.lax.dot_general(
+                        qs, kth, (((1,), (0,)), ((), ())),
+                        preferred_element_type=(
+                            jnp.bfloat16 if bfout else jnp.float32))
+                else:
+                    k = jax.lax.slice(qkv, (0, C + hd * dh),
+                                      (R, C + (hd + 1) * dh))
+                    s = jax.lax.dot_general(
+                        qs, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=(
+                            jnp.bfloat16 if bfout else jnp.float32))
+                if not bfout:
+                    s = s.astype(jnp.bfloat16)
+                p = jnp.exp(jnp.minimum(s, jnp.bfloat16(30.0))) * maskb
+                r = jnp.maximum(jnp.sum(p.astype(jnp.float32), axis=-1,
+                                        keepdims=True), 1e-30)
+                o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+                outs.append(o * jnp.reciprocal(r))
+            o = jnp.concatenate(outs, axis=-1).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_try
 
     B, T, J, C, depth = 256, 16, 19, 256, 3
     heads = 1 if variant == "onehead" else 8
@@ -138,6 +245,29 @@ def run_variant(variant: str) -> None:
         return jnp.sum(y.astype(jnp.float32))
 
     _ = float(f(x))
+    if os.environ.get("PMCE_TPU_PROBE_TRACE", "1") == "1":
+        # Device-side timing via the profiler trace (the tunnel's ~3.4 ms
+        # dispatch floor swamps wall-clock micro-timings).
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(__file__))
+        import tempfile
+
+        from profile_device import aggregate
+
+        iters = 8
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                acc = f(x) * 0.0
+                for _ in range(iters):
+                    acc = acc + f(x)
+                _ = float(acc)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                ms = aggregate(td, iters, 1)
+        print(f"{variant:10s} {ms:7.2f} ms (device)", flush=True)
+        return
     times = []
     for _ in range(3):
         acc = f(x) * 0.0
