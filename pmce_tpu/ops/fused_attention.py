@@ -65,7 +65,33 @@ def _pick_group(num_clips: int, tokens: int) -> int:
     return min(g, max(needed, step))
 
 
-def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
+def _ones_col(rows: int, dtype):
+    """[rows, 8] with lane 0 = 1: the row-sum column for _av_rowsum."""
+    return jnp.concatenate([jnp.ones((rows, 1), dtype),
+                            jnp.zeros((rows, 7), dtype)], axis=1)
+
+
+def _av_rowsum(p, v, ones):
+    """(p @ v, row-sums of p) via ONE matmul: p @ [v | 1 | 0×7].
+
+    The softmax row-sum rides the MXU on the AV matmul instead of a
+    cross-lane VPU reduce over the [R, R] probability block (measured
+    0.8 ms across the trunk kernel; the AV matmul class runs ~4× the
+    score matmuls' effective rate, so widening N by 8 lanes is ~free).
+    Returns (o [R, dh] f32, r [R, 1] f32 clamped ≥1e-30 — fully-masked
+    padding rows would otherwise divide by zero; callers slice them off).
+    """
+    dh = v.shape[1]
+    vx = jnp.concatenate([v, ones], axis=1)               # [Rk, dh+8]
+    o_ext = jnp.dot(p, vx, preferred_element_type=jnp.float32)
+    o = jax.lax.slice(o_ext, (0, 0), (o_ext.shape[0], dh))
+    r = jnp.maximum(
+        jax.lax.slice(o_ext, (0, dh), (o_ext.shape[0], dh + 1)), 1e-30)
+    return o, r
+
+
+def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
+               fold_rowsum: bool = True):
     """Masked MHSA on a VMEM-resident [R, C] row block; returns f32 [R, C].
 
     The additive -inf mask is materialized ONCE per call and shared by
@@ -83,6 +109,7 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
     bf16 = h.dtype == jnp.bfloat16
     if bf16:
         maskb = mask01.astype(jnp.bfloat16)              # one [R, R] pass
+        ones = _ones_col(R, jnp.bfloat16) if fold_rowsum else None
     else:
         logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [R, R]
 
@@ -97,37 +124,45 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
             # score stage is VPU-bound, not MXU-bound), so the score
             # matrix is touched as few times as possible: the 1/sqrt(dh)
             # scale rides on the [R, dh] q slice, the f32 MXU output is
-            # converted once (Mosaic requires 32-bit matmul acc), and
+            # converted once (Mosaic requires 32-bit matmul acc),
             # everything after runs packed-bf16 2-per-lane with
             # MULTIPLICATIVE masking AFTER exp (exp(min(s, 30)) is
-            # finite; masked entries become exactly 0). The static min-30
-            # clamp replaces the max-stabilizer: softmax ratios need no
-            # shift, and exp's bf16 argument quantizes scores at ~0.2% —
-            # the same order as the bf16 rounding of v itself.
+            # finite; masked entries become exactly 0), and the row-sum
+            # rides the AV matmul (_av_rowsum). The static min-30 clamp
+            # replaces the max-stabilizer: softmax ratios need no shift,
+            # and exp's bf16 argument quantizes scores at ~0.2% — the
+            # same order as the bf16 rounding of v itself.
             s = jax.lax.dot_general(
                 q * jnp.bfloat16(scale), k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                     jnp.bfloat16(30.0))) * maskb
-            r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            if fold_rowsum:
+                o, r = _av_rowsum(p, v, ones)
+            else:
+                r = jnp.maximum(
+                    jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                    1e-30)
+                o = jnp.dot(p, v, preferred_element_type=jnp.float32)
         else:
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + logmask
             m = jnp.max(s, axis=-1, keepdims=True)       # true masked max
             p = jnp.exp(s - m).astype(h.dtype)
-            r = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-        # max(r, eps): fully-masked (padding) rows would divide by zero;
-        # their outputs are sliced away by the caller.
-        r = jnp.maximum(r, 1e-30)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            # max(r, eps): fully-masked (padding) rows would divide by
+            # zero; their outputs are sliced away by the caller.
+            r = jnp.maximum(
+                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                1e-30)
+            o = jnp.dot(p, v, preferred_element_type=jnp.float32)
         outs.append(o * jnp.reciprocal(r))        # deferred softmax, [R,1] recip
     o = jnp.concatenate(outs, axis=-1).astype(h.dtype)   # [R, C]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
 
 
 def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
-                        G: int):
+                        G: int, fold_rowsum: bool = True):
     """MHSA on [G·N, C] stacked clip rows with PER-CLIP score buffers.
 
     Same math as :func:`_attn_core` per clip; the dense QKV / output
@@ -147,6 +182,7 @@ def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
     qkv = (qkv + bqkv).astype(h.dtype)                    # [G·N, 3C]
     if bf16:
         maskb = mask01.astype(jnp.bfloat16)               # [N, N]
+        ones = _ones_col(N, jnp.bfloat16) if fold_rowsum else None
     else:
         logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [N, N]
 
@@ -163,23 +199,31 @@ def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
             vg = jax.lax.slice(v, (g * N, 0), ((g + 1) * N, dh))
             if bf16:
                 # Minimal-pass [N, N] score stage (scale on the q slice,
-                # one f32→bf16 convert, multiplicative post-exp mask) —
-                # rationale in _attn_core.
+                # one f32→bf16 convert, multiplicative post-exp mask,
+                # row-sum on the AV matmul) — rationale in _attn_core.
                 s = jax.lax.dot_general(
                     qg * jnp.bfloat16(scale), kg, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                         jnp.bfloat16(30.0))) * maskb
+                if fold_rowsum:
+                    o, r = _av_rowsum(p, vg, ones)
+                else:
+                    r = jnp.maximum(
+                        jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True), 1e-30)
+                    o = jnp.dot(p, vg,
+                                preferred_element_type=jnp.float32)
             else:
                 s = jax.lax.dot_general(
                     qg, kg, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale + logmask
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m).astype(h.dtype)
-            r = jnp.maximum(
-                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
-                1e-30)
-            o = jnp.dot(p, vg, preferred_element_type=jnp.float32)
+                r = jnp.maximum(
+                    jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                    1e-30)
+                o = jnp.dot(p, vg, preferred_element_type=jnp.float32)
             clip_outs.append(o * jnp.reciprocal(r))
         head_outs.append(jnp.concatenate(clip_outs, axis=0))  # [G·N, dh]
     o = jnp.concatenate(head_outs, axis=-1).astype(h.dtype)   # [G·N, C]
@@ -1083,7 +1127,7 @@ fused_gru_layer.defvjp(_fused_gru_layer_fwd, _fused_gru_layer_bwd)
 
 
 def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
-                     kv_mask, num_heads: int):
+                     kv_mask, num_heads: int, fold_rowsum: bool = False):
     """Masked cross-attention on VMEM blocks; returns f32 [Nq, Cq].
 
     kv_mask: [1, Nk] 0/1 validity of the key/value rows (padding). The
@@ -1105,6 +1149,7 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
     bf16 = dt == jnp.bfloat16
     if bf16:
         maskb = kv_mask.astype(jnp.bfloat16)                  # [1, Nk]
+        ones = _ones_col(Nk, jnp.bfloat16) if fold_rowsum else None
     else:
         logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)    # [1, Nk]
     outs = []
@@ -1114,22 +1159,30 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
         v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
         if bf16:
             # Minimal-pass [Nq, Nk] score stage (scale on the q slice,
-            # one f32→bf16 convert, multiplicative post-exp mask) —
-            # rationale in _attn_core.
+            # one f32→bf16 convert, multiplicative post-exp mask,
+            # row-sum on the AV matmul) — rationale in _attn_core.
             s = jax.lax.dot_general(
                 q_h * jnp.bfloat16(scale), k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                     jnp.bfloat16(30.0))) * maskb
+            if fold_rowsum:
+                o, r = _av_rowsum(p, v_h, ones)
+            else:
+                r = jnp.maximum(
+                    jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                    1e-30)
+                o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
         else:
             s = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + logmask
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m).astype(dt)
-        r = jnp.maximum(
-            jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True), 1e-30)
-        o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
+            r = jnp.maximum(
+                jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True),
+                1e-30)
+            o = jnp.dot(p, v_h, preferred_element_type=jnp.float32)
         outs.append(o * jnp.reciprocal(r))
     o = jnp.concatenate(outs, axis=-1).astype(dt)             # [Nq, Cv]
     return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj

@@ -174,7 +174,11 @@ def _chain_kernel(jc_ref, vc_ref, gam_ref, bet_ref,
             joint1.astype(dt), [g12[:, 8], g12[:, 9]],
             [b12[:, 8], b12[:, 9]], saj_w, num_heads_j, eps, G, Jp,
             attn=lambda h, wqkv, bqkv, wproj, bproj: _attn_core(
-                h, wqkv, bqkv, wproj, bproj, jsa_mask_ref[:], num_heads_j))
+                h, wqkv, bqkv, wproj, bproj, jsa_mask_ref[:], num_heads_j,
+                # dh=8 heads: the widened-AV concat costs more than the
+                # [G·Jp, G·Jp] row-sum it replaces (measured +1.1 ms on
+                # the whole chain with folding everywhere).
+                fold_rowsum=False))
         vertx2 = _sa_ffn_grouped(
             vertx1.astype(dt), [g12[:, 10], g12[:, 11]],
             [b12[:, 10], b12[:, 11]], sav_w, num_heads_v, eps, G, Vp,

@@ -109,7 +109,11 @@ def run(variant: str) -> float:
             out_ref[:] = acc.astype(out_ref.dtype)
             return
         acc = jnp.zeros((R, R), jnp.float32)
-        for _ in range(blocks):
+        for b in range(blocks):
+            # Distinct per-block lhs — defeats CSE collapsing the block
+            # loop into one matmul (the round-3 rerun found the original
+            # loop-invariant version measured exactly that collapse).
+            qv = (qv + jnp.bfloat16(1 + b)).astype(jnp.bfloat16)
             if variant == "big":
                 acc = acc + jax.lax.dot_general(
                     qv, kv, (((1,), (1,)), ((), ())),
@@ -154,16 +158,28 @@ def run(variant: str) -> float:
     )(q, k, *ws))
     probe = jax.jit(lambda q, k: jnp.sum(f(q, k).astype(jnp.float32)))
     _ = float(probe(q, kin))
-    times = []
-    for _ in range(3):
-        acc = probe(q, kin) * 0.0
-        t0 = time.time()
-        for _ in range(16):
-            acc = acc + probe(q, kin)
-        _ = float(acc)
-        times.append((time.time() - t0) / 16 * 1000.0)
-    import numpy as np
-    return float(np.median(times))
+    # Device-side timing via the profiler trace (the tunnel's dispatch
+    # floor swamps wall-clock timings of these kernels).
+    import contextlib
+    import io
+    import os
+    import sys as _sys
+    import tempfile
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_device import aggregate
+
+    iters = 8
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            acc = probe(q, kin) * 0.0
+            for _ in range(iters):
+                acc = acc + probe(q, kin)
+            _ = float(acc)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ms = aggregate(td, iters, 1)
+    return float(ms)
 
 
 if __name__ == "__main__":

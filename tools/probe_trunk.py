@@ -166,6 +166,46 @@ def run_variant(variant: str) -> None:
                            preferred_element_type=jnp.float32) + bproj
 
         fa._attn_core = attn_piece
+    if variant == "avsum":
+        # Row-sum folded into the AV matmul: o_ext = p @ [v | 1 | 0...] —
+        # the [R, R] cross-lane VPU reduce (nosum attributes it 0.8 ms)
+        # rides the MXU instead, on a matmul class measured at ~4x the
+        # score matmuls' effective rate.
+        import math as _m
+
+        def attn_avsum(h, wqkv, bqkv, wproj, bproj, mask01, num_heads):
+            R, C = h.shape
+            dh = C // num_heads
+            scale = 1.0 / _m.sqrt(dh)
+            qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+            qkv = (qkv + bqkv).astype(h.dtype)
+            maskb = mask01.astype(jnp.bfloat16)
+            ones = jnp.concatenate(
+                [jnp.ones((R, 1), jnp.bfloat16),
+                 jnp.zeros((R, 7), jnp.bfloat16)], axis=1)
+            outs = []
+            for hd in range(num_heads):
+                q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+                k = jax.lax.slice(qkv, (0, C + hd * dh),
+                                  (R, C + (hd + 1) * dh))
+                v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                                  (R, 2 * C + (hd + 1) * dh))
+                s = jax.lax.dot_general(
+                    q * jnp.bfloat16(scale), k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                        jnp.bfloat16(30.0))) * maskb
+                vx = jnp.concatenate([v, ones], axis=1)      # [R, dh+8]
+                o_ext = jnp.dot(p, vx, preferred_element_type=jnp.float32)
+                o = jax.lax.slice(o_ext, (0, 0), (R, dh))
+                r = jnp.maximum(
+                    jax.lax.slice(o_ext, (0, dh), (R, dh + 1)), 1e-30)
+                outs.append(o * jnp.reciprocal(r))
+            o = jnp.concatenate(outs, axis=-1).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
+
+        fa._attn_core = attn_avsum
     if variant in ("pretk", "bf16out", "pretk_bf16out"):
         # pretk: ONE [304,256]→[256,304] k transpose per block, per-head
         #   SUBLANE slices, standard-layout score matmuls (tests whether

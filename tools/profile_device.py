@@ -53,6 +53,61 @@ def aggregate(trace_dir: str, iters: int, top: int):
     return tot / iters / 1000
 
 
+def profile_train(args) -> None:
+    """Per-op device attribution of the bf16+fused train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pmce_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    from pmce_tpu.core.trainer import TrainState, make_pmce_train_step
+    from pmce_tpu.models.pmce import create_pmce
+    from pmce_tpu.smpl.artifacts import ensure_cached_artifacts
+    from pmce_tpu.smpl.mesh import ensure_cached_coarsening
+
+    art = ensure_cached_artifacts()
+    coarse = ensure_cached_coarsening()
+    rng = np.random.default_rng(0)
+    jr = rng.random((17, art.num_verts)).astype(np.float32)
+    jr /= jr.sum(1, keepdims=True)
+    model, _ = create_pmce(num_joint=17, art=art, coarsening=coarse,
+                           joint_regressor_h36m=jr,
+                           dtype=jnp.bfloat16, fused_attn=True)
+    tx = optax.adam(1e-4)
+    B, T, J, V = args.batch, 16, 17, art.num_verts
+    batch = {
+        "pose2d": jnp.asarray(rng.normal(size=(B, T, J, 2)), jnp.float32),
+        "img_feature": jnp.asarray(rng.normal(size=(B, T, 2048)),
+                                   jnp.float32),
+        "mesh": jnp.asarray(rng.normal(size=(B, V, 3)), jnp.float32),
+        "lift_pose3d": jnp.asarray(rng.normal(size=(B, J, 3)), jnp.float32),
+        "reg_pose3d": jnp.asarray(rng.normal(size=(B, J, 3)), jnp.float32),
+        "mesh_valid": jnp.ones((B, V, 1), jnp.float32),
+        "lift_pose3d_valid": jnp.ones((B, J, 1), jnp.float32),
+        "reg_pose3d_valid": jnp.ones((B, J, 1), jnp.float32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["pose2d"],
+                                 batch["img_feature"])["params"]
+    state = TrainState(params=params, opt_state=jax.jit(tx.init)(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_pmce_train_step(model, tx, jnp.asarray(art.faces),
+                                jnp.asarray(jr), 0.1, 20.0, 1e-3)
+    key = jax.random.PRNGKey(0)
+    lw = jnp.asarray(0.0)
+    state, loss, _ = step(state, batch, key, lw)
+    _ = float(loss)
+
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(args.iters):
+                state, loss, _ = step(state, batch, key, lw)
+            _ = float(loss)
+        aggregate(td, args.iters, args.top)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--whole-block", action="store_true")
@@ -61,7 +116,14 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--stage", choices=["pmce", "lifter", "decoder"],
                     default="pmce")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the bf16+fused TRAIN step instead of the "
+                         "serving forward (per-op device attribution of the "
+                         "forward+backward+Adam graph)")
     args = ap.parse_args()
+
+    if args.train:
+        return profile_train(args)
 
     import jax
     import jax.numpy as jnp
