@@ -526,6 +526,93 @@ def _attn_bwd_core(x, g, wqkv, bqkv, wproj, mask01, num_heads: int):
     return dx.astype(dtype), dwqkv, dbqkv, dwproj, dbproj
 
 
+def _attn_fwd_save(x, wqkv, bqkv, wproj, bproj, mask01, num_heads: int):
+    """Attention forward with the BACKWARD's stabilizer math; returns
+    (a [R, C] f32, saved) where ``saved`` feeds :func:`_attn_bwd_saved`.
+
+    Used by the whole-block backward kernel: the block's value recompute
+    (x1 = x + a·m1 is needed before any gradient exists) and the
+    attention gradient share ONE probability computation instead of the
+    two a naive compose-of-cores would do.
+    """
+    R, C = x.shape
+    dh = C // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dtype = x.dtype
+    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv).astype(dtype)                      # [R, 3C]
+    logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)
+    pns, os = [], []
+    for hd in range(num_heads):
+        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                          (R, 2 * C + (hd + 1) * dh))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s + logmask, axis=-1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s - m, 0.0)) * mask01
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        pn = p / r                                        # f32 [R, R]
+        pns.append(pn)
+        os.append(jnp.dot(pn.astype(dtype), v,
+                          preferred_element_type=jnp.float32))
+    o_all = jnp.concatenate(os, -1).astype(dtype)         # [R, C]
+    a = jnp.dot(o_all, wproj, preferred_element_type=jnp.float32) + bproj
+    return a, (qkv, pns, o_all)
+
+
+def _attn_bwd_saved(x, g, saved, wqkv, wproj, num_heads: int):
+    """Gradient half of :func:`_attn_fwd_save` — the same math as
+    :func:`_attn_bwd_core` minus the recompute. ``x`` is the attention
+    input (for dwqkv), ``g`` the upstream grad in the compute dtype."""
+    qkv, pns, o_all = saved
+    R, C = x.shape
+    dh = C // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dtype = x.dtype
+    gf = g.astype(jnp.float32)
+    do = jax.lax.dot_general(g, wproj, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [R, C]
+    dqs, dks, dvs = [], [], []
+    for hd in range(num_heads):
+        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                          (R, 2 * C + (hd + 1) * dh))
+        pn = pns[hd]
+        pn_c = pn.astype(dtype)
+        do_h = jax.lax.slice(do, (0, hd * dh), (R, (hd + 1) * dh))
+        do_hc = do_h.astype(dtype)
+        dpn = jax.lax.dot_general(do_hc, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(pn_c, do_hc, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqs, -1), jnp.concatenate(dks, -1),
+         jnp.concatenate(dvs, -1)], -1)                   # f32 [R, 3C]
+    dqkv_c = dqkv.astype(dtype)
+    dwqkv = jax.lax.dot_general(x, dqkv_c, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)          # [1, 3C]
+    # o_allᵀ @ g == the per-head dwp_rows concat of _attn_bwd_core.
+    dwproj = jax.lax.dot_general(o_all, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dbproj = jnp.sum(gf, axis=0, keepdims=True)           # [1, C]
+    dx = jax.lax.dot_general(dqkv_c, wqkv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return dx.astype(dtype), dwqkv, dbqkv, dwproj, dbproj
+
+
 def _mhsa_bwd_kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wproj_ref, mask_ref,
                      dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
                      *, num_heads: int):
@@ -783,12 +870,278 @@ def _block_bwd_path(x, params, num_heads, eps, post_eps, branch_masks):
         branch_masks=branch_masks)
 
 
+def _ln_fwd_stats(xf, scale, bias, eps):
+    """LN forward that also returns (x̂, inv) for the backward —
+    same single-pass stats as :func:`_ln_f32`."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd_from_stats(dy, xhat, inv, scale):
+    """LayerNorm backward given the forward's (x̂, inv).
+
+    dx = inv·(dy·γ − mean(dy·γ) − x̂·mean(dy·γ·x̂));
+    dγ = Σ_rows dy·x̂; dβ = Σ_rows dy.  All f32.
+    """
+    dyg = dy * scale
+    mean1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = inv * (dyg - mean1 - xhat * mean2)
+    dgamma = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, dgamma, dbeta
+
+
+def _ln_bwd(dy, xf, scale, eps):
+    """LayerNorm backward recomputing stats (for the post-LN, whose
+    input y is already recomputed in the caller)."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * inv
+    return _ln_bwd_from_stats(dy, xhat, inv, scale)
+
+
+def _gelu_grad(hh, dtype):
+    """d gelu(hh)/d hh as f32, matching :func:`_gelu` branch-for-branch
+    (erf at f32; the tanh approximation evaluated in bf16 for bf16)."""
+    if dtype != jnp.bfloat16:
+        cdf = 0.5 * (1.0 + _erf_f32(hh / math.sqrt(2.0)))
+        pdf = jnp.exp(-0.5 * hh * hh) * (1.0 / math.sqrt(2.0 * math.pi))
+        return cdf + hh * pdf
+    x = hh.astype(jnp.bfloat16)
+    c = 0.7978845608028654
+    a3 = 0.044715
+    t = jnp.tanh(c * (x + a3 * (x * x * x)))
+    d = 0.5 * (1.0 + t) + (0.5 * c) * x * (1.0 - t * t) \
+        * (1.0 + 3.0 * a3 * (x * x))
+    return d.astype(jnp.float32)
+
+
+def _block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bproj_ref, g2_ref, b2_ref, w1_ref, bb1_ref,
+                      w2_ref, bb2_ref, gp_ref, bp_ref, mask_ref, m1_ref,
+                      m2_ref, dx_ref, dg1_ref, db1_ref, dwqkv_ref,
+                      dbqkv_ref, dwproj_ref, dbproj_ref, dg2_ref, db2_ref,
+                      dw1_ref, dbb1_ref, dw2_ref, dbb2_ref, dgp_ref,
+                      dbp_ref, dm1_ref, dm2_ref, *, num_heads: int,
+                      eps: float, post_norm: bool, post_eps: float):
+    """Whole-block backward in one VMEM pass (recompute-in-VMEM).
+
+    Replaces the XLA LN/MLP backward chain around the Pallas attention
+    backward (round 2's split): the forward is recomputed from the saved
+    row block x — LN stats and the per-head attention probabilities are
+    computed ONCE and shared between the value recompute (x1 is needed
+    before any gradient exists) and the gradient path — then both
+    residual branches run their backward without touching HBM. Parameter
+    gradients accumulate across the sequential grid exactly like
+    :func:`_mhsa_bwd_kernel`.
+    """
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    m1 = m1_ref[:]
+    m2 = m2_ref[:]
+
+    # ---- forward recompute, keeping backward state ----------------------
+    h1f, xhat1, inv1 = _ln_fwd_stats(xf, g1_ref[:], b1_ref[:], eps)
+    h1 = h1f.astype(dt)
+    a, saved = _attn_fwd_save(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:],
+                              bproj_ref[:], mask_ref[:], num_heads)
+    x1 = xf + a * m1                                      # f32 [R, C]
+    h2f, xhat2, inv2 = _ln_fwd_stats(x1, g2_ref[:], b2_ref[:], eps)
+    h2 = h2f.astype(dt)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) \
+        + bb1_ref[:]
+    ge = _gelu(hh, dt)
+    mo = jnp.dot(ge, w2_ref[:], preferred_element_type=jnp.float32) \
+        + bb2_ref[:]
+
+    # ---- backward --------------------------------------------------------
+    go = g_ref[:].astype(jnp.float32)
+    if post_norm:
+        y = x1 + mo * m2
+        gy, dgp, dbp = _ln_bwd(go, y, gp_ref[:], post_eps)
+    else:
+        gy = go
+        dgp = jnp.zeros_like(gp_ref[:])
+        dbp = jnp.zeros_like(bp_ref[:])
+
+    # MLP branch: y = x1 + m2·(W2·gelu(W1·h2 + b1) + b2)
+    m2g = gy * m2
+    dbb2 = jnp.sum(m2g, axis=0, keepdims=True)
+    m2g_c = m2g.astype(dt)
+    dw2 = jax.lax.dot_general(ge, m2g_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dge = jax.lax.dot_general(m2g_c, w2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhh = dge * _gelu_grad(hh, dt)
+    dbb1 = jnp.sum(dhh, axis=0, keepdims=True)
+    dhh_c = dhh.astype(dt)
+    dw1 = jax.lax.dot_general(h2, dhh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(dhh_c, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx1_ln, dg2, db2 = _ln_bwd_from_stats(dh2, xhat2, inv2, g2_ref[:])
+    dx1 = gy + dx1_ln
+
+    # droppath-mask grads (per-row; caller reduces per clip)
+    dm2_ref[:] = jnp.sum(gy * mo, axis=-1, keepdims=True)
+    dm1_ref[:] = jnp.sum(dx1 * a, axis=-1, keepdims=True)
+
+    # attention branch
+    da = (dx1 * m1).astype(dt)
+    dh1, dwqkv, dbqkv, dwproj, dbproj = _attn_bwd_saved(
+        h1, da, saved, wqkv_ref[:], wproj_ref[:], num_heads)
+    dx_ln, dg1, db1 = _ln_bwd_from_stats(dh1.astype(jnp.float32),
+                                         xhat1, inv1, g1_ref[:])
+    dx_ref[:] = (dx1 + dx_ln).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dg1_ref[:], db1_ref[:] = dg1, db1
+        dwqkv_ref[:], dbqkv_ref[:] = dwqkv, dbqkv
+        dwproj_ref[:], dbproj_ref[:] = dwproj, dbproj
+        dg2_ref[:], db2_ref[:] = dg2, db2
+        dw1_ref[:], dbb1_ref[:] = dw1, dbb1
+        dw2_ref[:], dbb2_ref[:] = dw2, dbb2
+        dgp_ref[:], dbp_ref[:] = dgp, dbp
+
+    @pl.when(i > 0)
+    def _acc():
+        dg1_ref[:] += dg1
+        db1_ref[:] += db1
+        dwqkv_ref[:] += dwqkv
+        dbqkv_ref[:] += dbqkv
+        dwproj_ref[:] += dwproj
+        dbproj_ref[:] += dbproj
+        dg2_ref[:] += dg2
+        db2_ref[:] += db2
+        dw1_ref[:] += dw1
+        dbb1_ref[:] += dbb1
+        dw2_ref[:] += dw2
+        dbb2_ref[:] += dbb2
+        dgp_ref[:] += dgp
+        dbp_ref[:] += dbp
+
+
 def _fused_block_bwd(num_heads, eps, post_eps, res, g):
     x, params, branch_masks = res
-    _, vjp = jax.vjp(
-        lambda x, p, m: _block_bwd_path(x, p, num_heads, eps, post_eps, m),
-        x, params, branch_masks)
-    return vjp(g)
+    B, N, C = x.shape
+    if N > 64:
+        # The forward fell back to block_reference for N > 64 — keep the
+        # matching XLA backward.
+        _, vjp = jax.vjp(
+            lambda x, p, m: _block_bwd_path(x, p, num_heads, eps,
+                                            post_eps, m),
+            x, params, branch_masks)
+        return vjp(g)
+
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2,
+     gp, bp) = params
+    dtype = x.dtype
+    post = gp is not None
+    G = _pick_group(B, N)
+    R = G * N
+    x2, wqkv_c, bqkv_c, wproj_c, bproj_c, Bp, pad = _prep(
+        x, wqkv, bqkv, wproj, bproj, G)
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((pad, N, C), g.dtype)], axis=0)
+    g2rows = g.astype(dtype).reshape(Bp * N, C)
+    hid = w1.shape[1]
+
+    if branch_masks is None:
+        ones = jnp.ones((Bp * N, 1), jnp.float32)
+        m1r = m2r = ones
+    else:
+        m1r = _branch_mask_rows(branch_masks[0], B, N, Bp)
+        m2r = _branch_mask_rows(branch_masks[1], B, N, Bp)
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    gp_in = v(gp) if post else jnp.ones((1, C), jnp.float32)
+    bp_in = v(bp) if post else jnp.zeros((1, C), jnp.float32)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mrows = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dh = C // num_heads
+    flops = Bp // G * 3 * (2 * R * C * 3 * C + num_heads * 4 * R * R * dh
+                           + 2 * R * C * C + 4 * R * C * hid)
+    outs = pl.pallas_call(
+        functools.partial(_block_bwd_kernel, num_heads=num_heads, eps=eps,
+                          post_norm=post, post_eps=post_eps),
+        grid=(Bp // G,),
+        in_specs=[rows, rows] + [full] * 14 + [full, mrows, mrows],
+        out_specs=[rows, acc((1, C)), acc((1, C)), acc((C, 3 * C)),
+                   acc((1, 3 * C)), acc((C, C)), acc((1, C)), acc((1, C)),
+                   acc((1, C)), acc((C, hid)), acc((1, hid)),
+                   acc((hid, C)), acc((1, C)), acc((1, C)), acc((1, C)),
+                   mrows, mrows],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp * N, C), dtype),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, 3 * C), f32),
+            jax.ShapeDtypeStruct((1, 3 * C), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, hid), f32),
+            jax.ShapeDtypeStruct((1, hid), f32),
+            jax.ShapeDtypeStruct((hid, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((Bp * N, 1), f32),
+            jax.ShapeDtypeStruct((Bp * N, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * Bp * N * C * x2.dtype.itemsize,
+            transcendentals=Bp // G * (num_heads * R * R + 2 * R * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, g2rows, v(g1), v(b1), wqkv_c, bqkv_c, wproj_c, bproj_c,
+      v(g2), v(b2), w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2),
+      gp_in, bp_in, _clip_mask(G, N), m1r, m2r)
+    (dx2, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dg2, db2, dw1, dbb1,
+     dw2, dbb2, dgp, dbp, dm1_rows, dm2_rows) = outs
+
+    dx = dx2.reshape(Bp, N, C)[:B].astype(x.dtype)
+    dparams = (
+        dg1.reshape(g1.shape).astype(g1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.reshape(bproj.shape).astype(bproj.dtype),
+        dg2.reshape(g2.shape).astype(g2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dw1.astype(w1.dtype),
+        dbb1.reshape(bb1.shape).astype(bb1.dtype),
+        dw2.astype(w2.dtype),
+        dbb2.reshape(bb2.shape).astype(bb2.dtype),
+        dgp.reshape(gp.shape).astype(gp.dtype) if post else None,
+        dbp.reshape(bp.shape).astype(bp.dtype) if post else None,
+    )
+    if branch_masks is None:
+        dmasks = None
+    else:
+        m1, m2 = branch_masks
+        dm1 = dm1_rows.reshape(Bp, N)[:B].sum(axis=1).reshape(m1.shape)
+        dm2 = dm2_rows.reshape(Bp, N)[:B].sum(axis=1).reshape(m2.shape)
+        dmasks = (dm1.astype(m1.dtype), dm2.astype(m2.dtype))
+    return dx, dparams, dmasks
 
 
 fused_transformer_block.defvjp(_fused_block_fwd, _fused_block_bwd)
@@ -953,18 +1306,230 @@ def _fused_ada_block_fwd(x, gamma1, beta1, gamma2, beta2, params,
             (x, gamma1, beta1, gamma2, beta2, params, branch_masks))
 
 
+def _adaln_fwd_stats(xf, gamma, beta, eps):
+    """AdaLN forward that also returns (u, inv, σ) for the backward —
+    same single-pass stats / unbiased-σ / eps-outside math as
+    :func:`_adaln_f32`."""
+    C = xf.shape[-1]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = (jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean) \
+        * (C / (C - 1))
+    sigma = jnp.sqrt(var)
+    inv = jnp.reciprocal(sigma + eps)
+    u = xf - mean
+    return gamma * (u * inv) + beta, u, inv, sigma
+
+
+def _adaln_bwd_from_stats(dy, u, inv, sigma, gamma):
+    """AdaLayerNorm backward given the forward's (u = x−μ, inv, σ).
+
+    y = γ·u·inv + β with inv = 1/(σ+eps), σ = sqrt(Σu²/(C−1)):
+      du = γdy·inv − u·(inv²·Σ(γdy·u)/((C−1)·σ));  dx = du − mean(du).
+    σ is clamped away from 0 for all-zero (padding) rows, whose dy is
+    zero anyway. dγ/dβ are per-CLIP sums (the caller's grid is per clip).
+    """
+    C = dy.shape[-1]
+    dyg = dy * gamma
+    sproj = jnp.sum(dyg * u, axis=-1, keepdims=True)
+    ssafe = jnp.maximum(sigma, 1e-20)
+    du = dyg * inv - u * (inv * inv * sproj * (1.0 / (C - 1.0)) / ssafe)
+    dx = du - jnp.mean(du, axis=-1, keepdims=True)
+    dgamma = jnp.sum(dy * (u * inv), axis=0, keepdims=True)
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, dgamma, dbeta
+
+
+def _ada_block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, g2_ref, b2_ref, w1_ref,
+                          bb1_ref, w2_ref, bb2_ref, mask_ref, m1_ref,
+                          m2_ref, dx_ref, dg1_ref, db1_ref, dg2_ref,
+                          db2_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                          dbproj_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref,
+                          dm1_ref, dm2_ref, *, num_heads: int, eps: float):
+    """Whole AdaLN-block backward, one clip per grid step (recompute in
+    VMEM; see :func:`_block_bwd_kernel`). The AdaLN γ/β gradients are
+    PER-CLIP row blocks (the conditioning is per clip); the weight
+    gradients accumulate across the sequential grid."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    g1 = g1_ref[0]
+    g2 = g2_ref[0]
+    m1 = m1_ref[0]
+    m2 = m2_ref[0]
+
+    # ---- forward recompute with backward state ---------------------------
+    h1f, u1, inv1, sig1 = _adaln_fwd_stats(xf, g1, b1_ref[0], eps)
+    h1 = h1f.astype(dt)
+    a, saved = _attn_fwd_save(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:],
+                              bproj_ref[:], mask_ref[:], num_heads)
+    x1 = xf + a * m1
+    h2f, u2, inv2, sig2 = _adaln_fwd_stats(x1, g2, b2_ref[0], eps)
+    h2 = h2f.astype(dt)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) \
+        + bb1_ref[:]
+    ge = _gelu(hh, dt)
+    mo = jnp.dot(ge, w2_ref[:], preferred_element_type=jnp.float32) \
+        + bb2_ref[:]
+
+    # ---- backward --------------------------------------------------------
+    gy = g_ref[:].astype(jnp.float32)
+    m2g = gy * m2
+    dbb2 = jnp.sum(m2g, axis=0, keepdims=True)
+    m2g_c = m2g.astype(dt)
+    dw2 = jax.lax.dot_general(ge, m2g_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dge = jax.lax.dot_general(m2g_c, w2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhh = dge * _gelu_grad(hh, dt)
+    dbb1 = jnp.sum(dhh, axis=0, keepdims=True)
+    dhh_c = dhh.astype(dt)
+    dw1 = jax.lax.dot_general(h2, dhh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(dhh_c, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx1_ln, dg2v, db2v = _adaln_bwd_from_stats(dh2, u2, inv2, sig2, g2)
+    dx1 = gy + dx1_ln
+
+    dm2_ref[0, 0, 0] = jnp.sum(gy * mo)
+    dm1_ref[0, 0, 0] = jnp.sum(dx1 * a)
+
+    da = (dx1 * m1).astype(dt)
+    dh1, dwqkv, dbqkv, dwproj, dbproj = _attn_bwd_saved(
+        h1, da, saved, wqkv_ref[:], wproj_ref[:], num_heads)
+    dx_ln, dg1v, db1v = _adaln_bwd_from_stats(dh1.astype(jnp.float32),
+                                              u1, inv1, sig1, g1)
+    dx_ref[:] = (dx1 + dx_ln).astype(dx_ref.dtype)
+
+    # per-clip conditioning grads: [1, C] → this clip's [1, 1, C] block
+    dg1_ref[0] = dg1v
+    db1_ref[0] = db1v
+    dg2_ref[0] = dg2v
+    db2_ref[0] = db2v
+
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_ref[:], dbqkv_ref[:] = dwqkv, dbqkv
+        dwproj_ref[:], dbproj_ref[:] = dwproj, dbproj
+        dw1_ref[:], dbb1_ref[:] = dw1, dbb1
+        dw2_ref[:], dbb2_ref[:] = dw2, dbb2
+
+    @pl.when(i > 0)
+    def _acc():
+        dwqkv_ref[:] += dwqkv
+        dbqkv_ref[:] += dbqkv
+        dwproj_ref[:] += dwproj
+        dbproj_ref[:] += dbproj
+        dw1_ref[:] += dw1
+        dbb1_ref[:] += dbb1
+        dw2_ref[:] += dw2
+        dbb2_ref[:] += dbb2
+
+
 def _fused_ada_block_bwd(num_heads, eps, res, g):
-    """Backward via the single-sourced XLA chain with attention routed
-    through fused_mhsa (its Pallas backward carries the dominant cost)."""
     x, gamma1, beta1, gamma2, beta2, params, branch_masks = res
-    _, vjp = jax.vjp(
-        lambda x, g1, b1, g2, b2, p, m: ada_block_reference(
-            x, g1, b1, g2, b2, p, num_heads, eps,
-            attn_fn=lambda h, wq, bq, wp, bp: fused_mhsa(
-                h, wq, bq, wp, bp, num_heads),
-            branch_masks=m),
-        x, gamma1, beta1, gamma2, beta2, params, branch_masks)
-    return vjp(g)
+    B, N, C = x.shape
+    dtype = x.dtype
+    wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2 = params
+    hid = w1.shape[1]
+
+    Np, mask = _pad_tokens(N)
+    if Np != N:
+        x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0)))
+    x2 = x.reshape(B * Np, C)
+    g2rows = g.astype(dtype).reshape(B * Np, C)
+
+    if branch_masks is None:
+        ones = jnp.ones((B, 1), jnp.float32)
+        m1c = m2c = ones
+    else:
+        m1c = branch_masks[0].astype(jnp.float32).reshape(B, 1)
+        m2c = branch_masks[1].astype(jnp.float32).reshape(B, 1)
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    def cvec(a):
+        return a.astype(jnp.float32).reshape(B, 1, C)
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((Np, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    clip = pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mclip = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dh = C // num_heads
+    flops = B * 3 * (2 * Np * C * 3 * C + num_heads * 4 * Np * Np * dh
+                     + 2 * Np * C * C + 4 * Np * C * hid)
+    outs = pl.pallas_call(
+        functools.partial(_ada_block_bwd_kernel, num_heads=num_heads,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[rows, rows, clip, clip] + [full] * 4 + [clip, clip]
+                 + [full] * 4 + [full, mclip, mclip],
+        out_specs=[rows, clip, clip, clip, clip,
+                   acc((C, 3 * C)), acc((1, 3 * C)), acc((C, C)),
+                   acc((1, C)), acc((C, hid)), acc((1, hid)),
+                   acc((hid, C)), acc((1, C)), mclip, mclip],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Np, C), dtype),
+            jax.ShapeDtypeStruct((B, 1, C), f32),
+            jax.ShapeDtypeStruct((B, 1, C), f32),
+            jax.ShapeDtypeStruct((B, 1, C), f32),
+            jax.ShapeDtypeStruct((B, 1, C), f32),
+            jax.ShapeDtypeStruct((C, 3 * C), f32),
+            jax.ShapeDtypeStruct((1, 3 * C), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((C, hid), f32),
+            jax.ShapeDtypeStruct((1, hid), f32),
+            jax.ShapeDtypeStruct((hid, C), f32),
+            jax.ShapeDtypeStruct((1, C), f32),
+            jax.ShapeDtypeStruct((B, 1, 1), f32),
+            jax.ShapeDtypeStruct((B, 1, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * Np * C * x2.dtype.itemsize,
+            transcendentals=B * (num_heads * Np * Np + 2 * Np * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, g2rows, cvec(gamma1), cvec(beta1),
+      wqkv.astype(dtype), v(bqkv), wproj.astype(dtype), v(bproj),
+      cvec(gamma2), cvec(beta2),
+      w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2), mask,
+      m1c.reshape(B, 1, 1), m2c.reshape(B, 1, 1))
+    (dx2, dg1, db1, dg2, db2, dwqkv, dbqkv, dwproj, dbproj,
+     dw1, dbb1, dw2, dbb2, dm1c, dm2c) = outs
+
+    dx = dx2.reshape(B, Np, C)[:, :N].astype(dtype)
+    dparams = (
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.reshape(bqkv.shape).astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.reshape(bproj.shape).astype(bproj.dtype),
+        dw1.astype(w1.dtype),
+        dbb1.reshape(bb1.shape).astype(bb1.dtype),
+        dw2.astype(w2.dtype),
+        dbb2.reshape(bb2.shape).astype(bb2.dtype),
+    )
+    if branch_masks is None:
+        dmasks = None
+    else:
+        m1, m2 = branch_masks
+        dmasks = (dm1c.reshape(m1.shape).astype(m1.dtype),
+                  dm2c.reshape(m2.shape).astype(m2.dtype))
+    return (dx,
+            dg1.reshape(gamma1.shape).astype(gamma1.dtype),
+            db1.reshape(beta1.shape).astype(beta1.dtype),
+            dg2.reshape(gamma2.shape).astype(gamma2.dtype),
+            db2.reshape(beta2.shape).astype(beta2.dtype),
+            dparams, dmasks)
 
 
 fused_ada_block.defvjp(_fused_ada_block_fwd, _fused_ada_block_bwd)

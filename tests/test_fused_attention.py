@@ -150,6 +150,41 @@ def test_fused_block_gradients():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_block_gradients_post_norm_and_x():
+    """The whole-block Pallas backward vs the XLA chain with the lifter's
+    shared post-LN attached, including the INPUT gradient (the round-3
+    kernel carries dx through both LN backwards in-kernel)."""
+    from pmce_tpu.ops.fused_attention import (
+        block_reference,
+        fused_transformer_block,
+    )
+
+    rng = np.random.default_rng(11)
+    B, N, C, H = 6, 19, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+
+    def w(*s):
+        return jnp.asarray(rng.normal(size=s) * 0.05, jnp.float32)
+
+    params = (w(C), w(C), w(C, 3 * C), w(3 * C), w(C, C), w(C), w(C), w(C),
+              w(C, 2 * C), w(2 * C), w(2 * C, C), w(C),
+              1.0 + w(C), w(C))                       # post-LN scale/bias
+
+    def loss_ref(x, p):
+        return jnp.sum(block_reference(x, p, H) ** 3)
+
+    def loss_fused(x, p):
+        return jnp.sum(fused_transformer_block(x, p, H) ** 3)
+
+    gx0, gp0 = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_fused_block_branch_masks():
     """Stochastic-depth branch masks run INSIDE the kernel: the fused
     block with (m1, m2) must match the reference chain with the same
@@ -318,6 +353,18 @@ def test_fused_ada_block_branch_masks():
                               branch_masks=masks)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
+
+    # Gradients through the round-3 whole-block Pallas backward: input,
+    # conditioning vectors, and weights, with masks active.
+    ga = jax.grad(lambda x, g1, b1, g2, b2, p: jnp.sum(fused_ada_block(
+        x, g1, b1, g2, b2, p, H, 1e-6, masks) ** 3),
+        argnums=(0, 1, 2, 3, 4, 5))(x, g1v, b1v, g2v, b2v, params)
+    gb = jax.grad(lambda x, g1, b1, g2, b2, p: jnp.sum(ada_block_reference(
+        x, g1, b1, g2, b2, p, H, 1e-6, branch_masks=masks) ** 3),
+        argnums=(0, 1, 2, 3, 4, 5))(x, g1v, b1v, g2v, b2v, params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
 
 
 # ---------------------------------------------------------- fused GRU scan
