@@ -126,13 +126,13 @@ class CoevoBlock(nn.Module):
             q_dim=self.joint_dim, k_dim=self.joint_dim, v_dim=self.vertx_dim,
             num_heads=self.joint_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=True, drop_path=self.drop_path, dtype=self.dtype,
-            name="joint_CA_FFN",
+            fused=self.fused, name="joint_CA_FFN",
         )(joint_feat + j_Q, v_as_j + v2j_K, vertx_feat, cond, deterministic)
         vertx_new = CrossAttentionBlock(
             q_dim=self.vertx_dim, k_dim=self.vertx_dim, v_dim=self.joint_dim,
             num_heads=self.vertx_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=True, drop_path=self.drop_path, dtype=self.dtype,
-            name="vertx_CA_FFN",
+            fused=self.fused, name="vertx_CA_FFN",
         )(vertx_feat + v_Q, j_as_v + j2v_K, joint_feat, cond, deterministic)
 
         joint_new = AdaBlock(

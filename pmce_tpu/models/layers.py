@@ -592,10 +592,57 @@ class CrossAttentionBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, xq: jax.Array, xk: jax.Array, xv: jax.Array,
                  cond: jax.Array, deterministic: bool = True) -> jax.Array:
+        # Whole-block Pallas path (forward AND backward kernels): AdaLN on
+        # all three streams + cross-attention + AdaLN'd MLP + residuals in
+        # one VMEM pass per clip. Gated like AdaBlock: enough tokens to
+        # fill the per-clip grid, stochastic depth rides as per-clip
+        # branch masks, element-level dropout forces the modular fallback.
+        kernel_ok = self.fused and max(xq.shape[1], xk.shape[1]) > 64 and (
+            deterministic or (self.drop == 0.0 and self.attn_drop == 0.0))
+        if kernel_ok:
+            from pmce_tpu.ops.fused_attention import fused_ca_block
+
+            # Declare through the holders AT THE SAME NAMES as the modular
+            # submodules — the parameter tree must be path-identical.
+            gq, bq = AdaLayerNormParams(self.q_dim, cond.shape[-1],
+                                        dtype=self.dtype,
+                                        name="normq")(cond)
+            gk, bk = AdaLayerNormParams(self.k_dim, cond.shape[-1],
+                                        dtype=self.dtype,
+                                        name="normk")(cond)
+            gv, bv = AdaLayerNormParams(self.v_dim, cond.shape[-1],
+                                        dtype=self.dtype,
+                                        name="normv")(cond)
+            g2, b2 = AdaLayerNormParams(self.q_dim, cond.shape[-1],
+                                        dtype=self.dtype,
+                                        name="norm2")(cond)
+            attn_w = CrossAttentionParams(self.q_dim, self.v_dim,
+                                          self.qkv_bias, name="attn")()
+            w1, bb1, w2, bb2 = MlpParams(
+                self.q_dim, int(self.q_dim * self.mlp_ratio),
+                name="mlp")()
+            w = attn_w + (w1, bb1, w2, bb2)
+            dt = self.dtype or xq.dtype
+            masks = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                shape = (xq.shape[0], 1, 1)
+                m1 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                m2 = jax.random.bernoulli(
+                    self.make_rng("droppath"), keep, shape)
+                masks = (m1.astype(jnp.float32) / keep,
+                         m2.astype(jnp.float32) / keep)
+            return fused_ca_block(
+                xq.astype(dt), xk.astype(dt), xv.astype(dt),
+                (gq, gk, gv, g2), (bq, bk, bv, b2), w,
+                self.num_heads, 1e-6, masks).astype(xq.dtype)
+
         nq = AdaLayerNorm(self.q_dim, dtype=self.dtype, name="normq")(xq, cond)
         nk = AdaLayerNorm(self.k_dim, dtype=self.dtype, name="normk")(xk, cond)
         nv = AdaLayerNorm(self.v_dim, dtype=self.dtype, name="normv")(xv, cond)

@@ -1536,6 +1536,535 @@ fused_ada_block.defvjp(_fused_ada_block_fwd, _fused_ada_block_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused cross-attention block (the decoder's CA+FFN halves): AdaLN on all
+# three streams, cross-attention, AdaLN'd MLP, both residuals — one kernel
+# per clip, forward AND whole-block backward. This was the last fully-XLA
+# block in the decoder's TRAINING path (the serving path runs it inside the
+# whole-chain kernel); reference CrossAttentionBlock,
+# /root/reference/lib/models/CoevoDecoder.py:60-89.
+# ---------------------------------------------------------------------------
+
+
+def _ca_fwd_save(nq, nk, nv, wq, bq, wk, bk, wv, bv, wproj, bproj,
+                 kv_mask, num_heads: int):
+    """Cross-attention forward with the backward's stabilizer math;
+    returns (a [Nq, Cq] f32, saved) for :func:`_ca_bwd_saved`."""
+    Nq, C = nq.shape
+    Nk, Cv = nv.shape
+    dh = C // num_heads
+    dv = Cv // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dt = nq.dtype
+    q = (jnp.dot(nq, wq, preferred_element_type=jnp.float32)
+         + bq).astype(dt)
+    k = (jnp.dot(nk, wk, preferred_element_type=jnp.float32)
+         + bk).astype(dt)
+    v = (jnp.dot(nv, wv, preferred_element_type=jnp.float32)
+         + bv).astype(dt)
+    logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)    # [1, Nk]
+    pns, os = [], []
+    for hd in range(num_heads):
+        q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
+        k_h = jax.lax.slice(k, (0, hd * dh), (Nk, (hd + 1) * dh))
+        v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s + logmask, axis=-1, keepdims=True)
+        p = jnp.exp(jnp.minimum(s - m, 0.0)) * kv_mask
+        r = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        pn = p / r                                        # f32 [Nq, Nk]
+        pns.append(pn)
+        os.append(jnp.dot(pn.astype(dt), v_h,
+                          preferred_element_type=jnp.float32))
+    o_all = jnp.concatenate(os, -1).astype(dt)            # [Nq, Cv]
+    a = jnp.dot(o_all, wproj, preferred_element_type=jnp.float32) + bproj
+    return a, (q, k, v, pns, o_all)
+
+
+def _ca_bwd_saved(da, saved, wproj, num_heads: int):
+    """Gradient half of :func:`_ca_fwd_save`: returns (dq_all [Nq, Cq],
+    dk_all [Nk, Cq], dv_all [Nk, Cv], dwproj, dbproj) — the projection
+    backward (through wq/wk/wv and the AdaLNs) stays with the caller."""
+    q, k, v, pns, o_all = saved
+    Nq, C = q.shape
+    Nk, Cv = v.shape
+    dh = C // num_heads
+    dv_w = Cv // num_heads
+    scale = 1.0 / math.sqrt(dh)
+    dt = q.dtype
+    do = jax.lax.dot_general(da, wproj, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [Nq, Cv]
+    do_c = do.astype(dt)
+    dqs, dks, dvs = [], [], []
+    for hd in range(num_heads):
+        q_h = jax.lax.slice(q, (0, hd * dh), (Nq, (hd + 1) * dh))
+        k_h = jax.lax.slice(k, (0, hd * dh), (Nk, (hd + 1) * dh))
+        v_h = jax.lax.slice(v, (0, hd * dv_w), (Nk, (hd + 1) * dv_w))
+        pn = pns[hd]
+        pn_c = pn.astype(dt)
+        do_h = jax.lax.slice(do_c, (0, hd * dv_w), (Nq, (hd + 1) * dv_w))
+        dpn = jax.lax.dot_general(do_h, v_h, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dvh = jax.lax.dot_general(pn_c, do_h, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = pn * (dpn - jnp.sum(dpn * pn, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dt)
+        dqh = jnp.dot(ds, k_h, preferred_element_type=jnp.float32)
+        dkh = jax.lax.dot_general(ds, q_h, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqs.append(dqh)
+        dks.append(dkh)
+        dvs.append(dvh)
+    dq_all = jnp.concatenate(dqs, -1)                     # f32 [Nq, C]
+    dk_all = jnp.concatenate(dks, -1)                     # f32 [Nk, C]
+    dv_all = jnp.concatenate(dvs, -1)                     # f32 [Nk, Cv]
+    dwproj = jax.lax.dot_general(o_all, da, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dbproj = jnp.sum(da.astype(jnp.float32), axis=0, keepdims=True)
+    return dq_all, dk_all, dv_all, dwproj, dbproj
+
+
+def _ca_block_kernel(xq_ref, xk_ref, xv_ref, gq_ref, bgq_ref, gk_ref,
+                     bgk_ref, gv_ref, bgv_ref, g2_ref, b2_ref,
+                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                     wproj_ref, bproj_ref, w1_ref, bb1_ref, w2_ref,
+                     bb2_ref, kvmask_ref, m1_ref, m2_ref, out_ref, *,
+                     num_heads: int, eps: float):
+    """Forward: xq + m1·CA(AdaLN(xq), AdaLN(xk), AdaLN(xv)) → x1;
+    x1 + m2·MLP(AdaLN(x1)) — one clip per grid step."""
+    xq = xq_ref[:]
+    dt = xq.dtype
+    xqf = xq.astype(jnp.float32)
+    nq = _adaln_f32(xqf, gq_ref[0], bgq_ref[0], eps).astype(dt)
+    nk = _adaln_f32(xk_ref[:].astype(jnp.float32), gk_ref[0], bgk_ref[0],
+                    eps).astype(dt)
+    nv = _adaln_f32(xv_ref[:].astype(jnp.float32), gv_ref[0], bgv_ref[0],
+                    eps).astype(dt)
+    a = _cross_attn_core(nq, nk, nv, wq_ref[:], bq_ref[:], wk_ref[:],
+                         bk_ref[:], wv_ref[:], bv_ref[:], wproj_ref[:],
+                         bproj_ref[:], kvmask_ref[:], num_heads)
+    x1 = xqf + a * m1_ref[0]
+    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps).astype(dt)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) \
+        + bb1_ref[:]
+    hh = _gelu(hh, dt)
+    mo = jnp.dot(hh, w2_ref[:], preferred_element_type=jnp.float32) \
+        + bb2_ref[:]
+    out_ref[:] = (x1 + mo * m2_ref[0]).astype(out_ref.dtype)
+
+
+def _ca_block_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, gq_ref, bgq_ref,
+                         gk_ref, bgk_ref, gv_ref, bgv_ref, g2_ref, b2_ref,
+                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                         wproj_ref, bproj_ref, w1_ref, bb1_ref, w2_ref,
+                         bb2_ref, kvmask_ref, m1_ref, m2_ref,
+                         dxq_ref, dxk_ref, dxv_ref,
+                         dgq_ref, dbgq_ref, dgk_ref, dbgk_ref, dgv_ref,
+                         dbgv_ref, dg2_ref, db2_ref,
+                         dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+                         dbv_ref, dwproj_ref, dbproj_ref, dw1_ref,
+                         dbb1_ref, dw2_ref, dbb2_ref, dm1_ref, dm2_ref, *,
+                         num_heads: int, eps: float):
+    """Whole CA-block backward, one clip per grid step (recompute in
+    VMEM). Per-clip AdaLN γ/β gradients for all four norms; weight
+    gradients accumulate across the grid."""
+    i = pl.program_id(0)
+    xq = xq_ref[:]
+    dt = xq.dtype
+    xqf = xq.astype(jnp.float32)
+    xkf = xk_ref[:].astype(jnp.float32)
+    xvf = xv_ref[:].astype(jnp.float32)
+    m1 = m1_ref[0]
+    m2 = m2_ref[0]
+
+    # ---- forward recompute with backward state ---------------------------
+    nqf, uq, invq, sigq = _adaln_fwd_stats(xqf, gq_ref[0], bgq_ref[0], eps)
+    nkf, uk, invk, sigk = _adaln_fwd_stats(xkf, gk_ref[0], bgk_ref[0], eps)
+    nvf, uv, invv, sigv = _adaln_fwd_stats(xvf, gv_ref[0], bgv_ref[0], eps)
+    nq = nqf.astype(dt)
+    nk = nkf.astype(dt)
+    nv = nvf.astype(dt)
+    a, saved = _ca_fwd_save(nq, nk, nv, wq_ref[:], bq_ref[:], wk_ref[:],
+                            bk_ref[:], wv_ref[:], bv_ref[:], wproj_ref[:],
+                            bproj_ref[:], kvmask_ref[:], num_heads)
+    x1 = xqf + a * m1
+    h2f, u2, inv2, sig2 = _adaln_fwd_stats(x1, g2_ref[0], b2_ref[0], eps)
+    h2 = h2f.astype(dt)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) \
+        + bb1_ref[:]
+    ge = _gelu(hh, dt)
+    mo = jnp.dot(ge, w2_ref[:], preferred_element_type=jnp.float32) \
+        + bb2_ref[:]
+
+    # ---- backward --------------------------------------------------------
+    gy = g_ref[:].astype(jnp.float32)
+    m2g = gy * m2
+    dbb2 = jnp.sum(m2g, axis=0, keepdims=True)
+    m2g_c = m2g.astype(dt)
+    dw2 = jax.lax.dot_general(ge, m2g_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dge = jax.lax.dot_general(m2g_c, w2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dhh = dge * _gelu_grad(hh, dt)
+    dbb1 = jnp.sum(dhh, axis=0, keepdims=True)
+    dhh_c = dhh.astype(dt)
+    dw1 = jax.lax.dot_general(h2, dhh_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh2 = jax.lax.dot_general(dhh_c, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx1_ln, dg2v, db2v = _adaln_bwd_from_stats(dh2, u2, inv2, sig2,
+                                               g2_ref[0])
+    dx1 = gy + dx1_ln
+
+    dm2_ref[0, 0, 0] = jnp.sum(gy * mo)
+    dm1_ref[0, 0, 0] = jnp.sum(dx1 * a)
+
+    da = (dx1 * m1).astype(dt)
+    dq_all, dk_all, dv_all, dwproj, dbproj = _ca_bwd_saved(
+        da, saved, wproj_ref[:], num_heads)
+
+    dq_c = dq_all.astype(dt)
+    dk_c = dk_all.astype(dt)
+    dv_c = dv_all.astype(dt)
+    dwq = jax.lax.dot_general(nq, dq_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwk = jax.lax.dot_general(nk, dk_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dwv = jax.lax.dot_general(nv, dv_c, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbq = jnp.sum(dq_all, axis=0, keepdims=True)
+    dbk = jnp.sum(dk_all, axis=0, keepdims=True)
+    dbv = jnp.sum(dv_all, axis=0, keepdims=True)
+    dnq = jax.lax.dot_general(dq_c, wq_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dnk = jax.lax.dot_general(dk_c, wk_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dnv = jax.lax.dot_general(dv_c, wv_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dxq_ln, dgqv, dbgqv = _adaln_bwd_from_stats(dnq, uq, invq, sigq,
+                                                gq_ref[0])
+    dxk_ln, dgkv, dbgkv = _adaln_bwd_from_stats(dnk, uk, invk, sigk,
+                                                gk_ref[0])
+    dxv_ln, dgvv, dbgvv = _adaln_bwd_from_stats(dnv, uv, invv, sigv,
+                                                gv_ref[0])
+    dxq_ref[:] = (dx1 + dxq_ln).astype(dxq_ref.dtype)
+    dxk_ref[:] = dxk_ln.astype(dxk_ref.dtype)
+    dxv_ref[:] = dxv_ln.astype(dxv_ref.dtype)
+
+    dgq_ref[0] = dgqv
+    dbgq_ref[0] = dbgqv
+    dgk_ref[0] = dgkv
+    dbgk_ref[0] = dbgkv
+    dgv_ref[0] = dgvv
+    dbgv_ref[0] = dbgvv
+    dg2_ref[0] = dg2v
+    db2_ref[0] = db2v
+
+    @pl.when(i == 0)
+    def _init():
+        dwq_ref[:], dbq_ref[:] = dwq, dbq
+        dwk_ref[:], dbk_ref[:] = dwk, dbk
+        dwv_ref[:], dbv_ref[:] = dwv, dbv
+        dwproj_ref[:], dbproj_ref[:] = dwproj, dbproj
+        dw1_ref[:], dbb1_ref[:] = dw1, dbb1
+        dw2_ref[:], dbb2_ref[:] = dw2, dbb2
+
+    @pl.when(i > 0)
+    def _acc():
+        dwq_ref[:] += dwq
+        dbq_ref[:] += dbq
+        dwk_ref[:] += dwk
+        dbk_ref[:] += dbk
+        dwv_ref[:] += dwv
+        dbv_ref[:] += dbv
+        dwproj_ref[:] += dwproj
+        dbproj_ref[:] += dbproj
+        dw1_ref[:] += dw1
+        dbb1_ref[:] += dbb1
+        dw2_ref[:] += dw2
+        dbb2_ref[:] += dbb2
+
+
+def ca_block_reference(xq, xk, xv, gammas, betas, params, num_heads,
+                       eps=1e-6, branch_masks=None):
+    """Pure-XLA reference of the fused CA block (VJP recompute was never
+    needed — the backward is a kernel — but this is the test oracle).
+
+    gammas/betas: 4-tuples of [B, C*] per-clip AdaLN vectors
+    (q, k, v, post); params: 12-tuple (wq,bq,wk,bk,wv,bv,wproj,bproj,
+    w1,bb1,w2,bb2)."""
+    (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = params
+    m1, m2 = branch_masks if branch_masks is not None else (1.0, 1.0)
+    dt = xq.dtype
+    xqf = xq.astype(jnp.float32)
+
+    def adaln(x, g, b):
+        return _adaln_f32(x.astype(jnp.float32), g[:, None, :],
+                          b[:, None, :], eps)
+
+    nq = adaln(xq, gammas[0], betas[0]).astype(dt)
+    nk = adaln(xk, gammas[1], betas[1]).astype(dt)
+    nv = adaln(xv, gammas[2], betas[2]).astype(dt)
+    B, Nq, C = xq.shape
+    M = xk.shape[1]
+    Cv = xv.shape[2]
+    H = num_heads
+    dh = C // H
+    dv = Cv // H
+    q = (nq @ wq.astype(dt) + bq.astype(dt)) \
+        .reshape(B, Nq, H, dh).transpose(0, 2, 1, 3)
+    k = (nk @ wk.astype(dt) + bk.astype(dt)) \
+        .reshape(B, M, H, dh).transpose(0, 2, 1, 3)
+    v = (nv @ wv.astype(dt) + bv.astype(dt)) \
+        .reshape(B, M, H, dv).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / math.sqrt(dh)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v)
+    o = o.transpose(0, 2, 1, 3).reshape(B, Nq, Cv)
+    a = (o @ wproj.astype(dt) + bproj.astype(dt)).astype(jnp.float32)
+    x1 = xqf + a * m1
+    h2 = adaln(x1, gammas[3], betas[3]).astype(dt)
+    hh = (h2 @ w1.astype(dt)).astype(jnp.float32) + bb1
+    hh = 0.5 * hh * (1.0 + jax.lax.erf(hh / math.sqrt(2.0)))
+    mo = (hh.astype(dt) @ w2.astype(dt)).astype(jnp.float32) + bb2
+    return (x1 + mo * m2).astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_ca_block(xq, xk, xv, gammas, betas, params, num_heads,
+                   eps=1e-6, branch_masks=None):
+    """Fused conditioned cross-attention + FFN block.
+
+    Args:
+      xq: [B, Nq, Cq] query-stream tokens; xk: [B, Nk, Cq] key stream;
+        xv: [B, Nk, Cv] value stream (any Nq/Nk — one clip per grid
+        step, token rows padded and masked).
+      gammas/betas: 4-tuples of per-clip AdaLN vectors [B, C*]
+        (normq, normk, normv, norm2).
+      params: (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2).
+      num_heads / eps: static config.
+      branch_masks: None, or ([B,1,1], [B,1,1]) stochastic-depth scales.
+
+    Returns:
+      [B, Nq, Cq], dtype of xq.
+    """
+    return _fused_ca_block_impl(xq, xk, xv, gammas, betas, params,
+                                num_heads, eps, branch_masks)
+
+
+def _ca_pack(xq, xk, xv, gammas, betas, params, branch_masks):
+    """Shared fwd/bwd packing: pad token rows, build the kv mask and the
+    per-clip conditioning stacks."""
+    B, Nq, Cq = xq.shape
+    Nk = xk.shape[1]
+    Cv = xv.shape[2]
+    dtype = xq.dtype
+    Nqp, _ = _pad_tokens(Nq)
+    Nkp, _ = _pad_tokens(Nk)
+    import numpy as np
+    kvmask = jnp.asarray(
+        (np.arange(Nkp) < Nk).astype("float32").reshape(1, Nkp))
+    if Nqp != Nq:
+        xq = jnp.pad(xq, ((0, 0), (0, Nqp - Nq), (0, 0)))
+    if Nkp != Nk:
+        xk = jnp.pad(xk, ((0, 0), (0, Nkp - Nk), (0, 0)))
+        xv = jnp.pad(xv, ((0, 0), (0, Nkp - Nk), (0, 0)))
+    if branch_masks is None:
+        ones = jnp.ones((B, 1, 1), jnp.float32)
+        m1c = m2c = ones
+    else:
+        m1c = branch_masks[0].astype(jnp.float32).reshape(B, 1, 1)
+        m2c = branch_masks[1].astype(jnp.float32).reshape(B, 1, 1)
+
+    def cvec(a):
+        return a.astype(jnp.float32).reshape(B, 1, -1)
+
+    def v(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = params
+    weights = (wq.astype(dtype), v(bq), wk.astype(dtype), v(bk),
+               wv.astype(dtype), v(bv), wproj.astype(dtype), v(bproj),
+               w1.astype(dtype), v(bb1), w2.astype(dtype), v(bb2))
+    conds = (cvec(gammas[0]), cvec(betas[0]), cvec(gammas[1]),
+             cvec(betas[1]), cvec(gammas[2]), cvec(betas[2]),
+             cvec(gammas[3]), cvec(betas[3]))
+    return (xq.reshape(B * Nqp, Cq), xk.reshape(B * Nkp, Cq),
+            xv.reshape(B * Nkp, Cv), conds, weights, kvmask, m1c, m2c,
+            B, Nqp, Nkp, Cq, Cv)
+
+
+def _fused_ca_block_impl(xq, xk, xv, gammas, betas, params, num_heads,
+                         eps, branch_masks):
+    Nq = xq.shape[1]
+    dtype = xq.dtype
+    (xq2, xk2, xv2, conds, weights, kvmask, m1c, m2c,
+     B, Nqp, Nkp, Cq, Cv) = _ca_pack(xq, xk, xv, gammas, betas, params,
+                                     branch_masks)
+    hid = params[8].shape[1]
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    qrows = pl.BlockSpec((Nqp, Cq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    krows = pl.BlockSpec((Nkp, Cq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    vrows = pl.BlockSpec((Nkp, Cv), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    clip = lambda C: pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    mclip = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dh = Cq // num_heads
+    flops = B * (2 * (2 * Nqp + 2 * Nkp) * Cq * Cq
+                 + num_heads * 4 * Nqp * Nkp * dh + 4 * Nqp * Cq * hid)
+    cspecs = [clip(Cq), clip(Cq), clip(Cq), clip(Cq), clip(Cv), clip(Cv),
+              clip(Cq), clip(Cq)]
+    out = pl.pallas_call(
+        functools.partial(_ca_block_kernel, num_heads=num_heads, eps=eps),
+        grid=(B,),
+        in_specs=[qrows, krows, vrows] + cspecs + [full] * 12
+                 + [full, mclip, mclip],
+        out_specs=qrows,
+        out_shape=jax.ShapeDtypeStruct((B * Nqp, Cq), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * B * (Nqp * Cq + Nkp * (Cq + Cv))
+            * xq2.dtype.itemsize,
+            transcendentals=B * (num_heads * Nqp * Nkp + Nqp * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xq2, xk2, xv2, conds[0], conds[1], conds[2], conds[3], conds[4],
+      conds[5], conds[6], conds[7], *weights, kvmask, m1c, m2c)
+    return out.reshape(B, Nqp, Cq)[:, :Nq]
+
+
+def _fused_ca_block_fwd(xq, xk, xv, gammas, betas, params, num_heads,
+                        eps, branch_masks):
+    return (_fused_ca_block_impl(xq, xk, xv, gammas, betas, params,
+                                 num_heads, eps, branch_masks),
+            (xq, xk, xv, gammas, betas, params, branch_masks))
+
+
+def _fused_ca_block_bwd(num_heads, eps, res, g):
+    xq, xk, xv, gammas, betas, params, branch_masks = res
+    B, Nq, Cq = xq.shape
+    Nk = xk.shape[1]
+    Cv = xv.shape[2]
+    dtype = xq.dtype
+    (xq2, xk2, xv2, conds, weights, kvmask, m1c, m2c,
+     _, Nqp, Nkp, _, _) = _ca_pack(xq, xk, xv, gammas, betas, params,
+                                   branch_masks)
+    if Nqp != Nq:
+        g = jnp.pad(g, ((0, 0), (0, Nqp - Nq), (0, 0)))
+    g2rows = g.astype(dtype).reshape(B * Nqp, Cq)
+    hid = params[8].shape[1]
+
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    qrows = pl.BlockSpec((Nqp, Cq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    krows = pl.BlockSpec((Nkp, Cq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    vrows = pl.BlockSpec((Nkp, Cv), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    clip = lambda C: pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    mclip = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dh = Cq // num_heads
+    cspecs = [clip(Cq), clip(Cq), clip(Cq), clip(Cq), clip(Cv), clip(Cv),
+              clip(Cq), clip(Cq)]
+    flops = B * 3 * (2 * (2 * Nqp + 2 * Nkp) * Cq * Cq
+                     + num_heads * 4 * Nqp * Nkp * dh
+                     + 4 * Nqp * Cq * hid)
+    outs = pl.pallas_call(
+        functools.partial(_ca_block_bwd_kernel, num_heads=num_heads,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[qrows, krows, vrows, qrows] + cspecs + [full] * 12
+                 + [full, mclip, mclip],
+        out_specs=[qrows, krows, vrows] + cspecs
+                  + [acc((Cq, Cq)), acc((1, Cq)), acc((Cq, Cq)),
+                     acc((1, Cq)), acc((Cv, Cv)), acc((1, Cv)),
+                     acc((Cv, Cq)), acc((1, Cq)), acc((Cq, hid)),
+                     acc((1, hid)), acc((hid, Cq)), acc((1, Cq)),
+                     mclip, mclip],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * Nqp, Cq), dtype),
+            jax.ShapeDtypeStruct((B * Nkp, Cq), dtype),
+            jax.ShapeDtypeStruct((B * Nkp, Cv), dtype),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, Cv), f32),
+            jax.ShapeDtypeStruct((B, 1, Cv), f32),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, Cq), f32),
+            jax.ShapeDtypeStruct((Cq, Cq), f32),
+            jax.ShapeDtypeStruct((1, Cq), f32),
+            jax.ShapeDtypeStruct((Cq, Cq), f32),
+            jax.ShapeDtypeStruct((1, Cq), f32),
+            jax.ShapeDtypeStruct((Cv, Cv), f32),
+            jax.ShapeDtypeStruct((1, Cv), f32),
+            jax.ShapeDtypeStruct((Cv, Cq), f32),
+            jax.ShapeDtypeStruct((1, Cq), f32),
+            jax.ShapeDtypeStruct((Cq, hid), f32),
+            jax.ShapeDtypeStruct((1, hid), f32),
+            jax.ShapeDtypeStruct((hid, Cq), f32),
+            jax.ShapeDtypeStruct((1, Cq), f32),
+            jax.ShapeDtypeStruct((B, 1, 1), f32),
+            jax.ShapeDtypeStruct((B, 1, 1), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * (Nqp * Cq + Nkp * (Cq + Cv))
+            * xq2.dtype.itemsize,
+            transcendentals=B * (num_heads * Nqp * Nkp + 2 * Nqp * hid),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xq2, xk2, xv2, g2rows, conds[0], conds[1], conds[2], conds[3],
+      conds[4], conds[5], conds[6], conds[7], *weights, kvmask, m1c, m2c)
+    (dxq2, dxk2, dxv2, dgq, dbgq, dgk, dbgk, dgv, dbgv, dg2, db2,
+     dwq, dbq, dwk, dbk, dwv, dbv, dwproj, dbproj, dw1, dbb1, dw2, dbb2,
+     dm1c, dm2c) = outs
+
+    (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = params
+    dxq = dxq2.reshape(B, Nqp, Cq)[:, :Nq].astype(dtype)
+    dxk = dxk2.reshape(B, Nkp, Cq)[:, :Nk].astype(xk.dtype)
+    dxv = dxv2.reshape(B, Nkp, Cv)[:, :Nk].astype(xv.dtype)
+    dgammas = tuple(
+        d.reshape(gm.shape).astype(gm.dtype)
+        for d, gm in zip((dgq, dgk, dgv, dg2), gammas))
+    dbetas = tuple(
+        d.reshape(bt.shape).astype(bt.dtype)
+        for d, bt in zip((dbgq, dbgk, dbgv, db2), betas))
+    dparams = (
+        dwq.astype(wq.dtype), dbq.reshape(bq.shape).astype(bq.dtype),
+        dwk.astype(wk.dtype), dbk.reshape(bk.shape).astype(bk.dtype),
+        dwv.astype(wv.dtype), dbv.reshape(bv.shape).astype(bv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj.reshape(bproj.shape).astype(bproj.dtype),
+        dw1.astype(w1.dtype), dbb1.reshape(bb1.shape).astype(bb1.dtype),
+        dw2.astype(w2.dtype), dbb2.reshape(bb2.shape).astype(bb2.dtype),
+    )
+    if branch_masks is None:
+        dmasks = None
+    else:
+        m1, m2 = branch_masks
+        dmasks = (dm1c.reshape(m1.shape).astype(m1.dtype),
+                  dm2c.reshape(m2.shape).astype(m2.dtype))
+    return dxq, dxk, dxv, dgammas, dbetas, dparams, dmasks
+
+
+fused_ca_block.defvjp(_fused_ca_block_fwd, _fused_ca_block_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused GRU layer scan. The BiGRU's recurrent chain is the only part of the
 # whole model that cannot parallelize over time (reference nn.GRU,
 # /root/reference/lib/models/CoevoDecoder.py:216-229); under XLA each of the

@@ -367,6 +367,91 @@ def test_fused_ada_block_branch_masks():
                                    rtol=5e-4, atol=5e-4)
 
 
+def _ca_fixture(rng, B, Nq, Nk, C, Cv):
+    xq = jnp.asarray(rng.normal(size=(B, Nq, C)), jnp.float32)
+    xk = jnp.asarray(rng.normal(size=(B, Nk, C)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(B, Nk, Cv)), jnp.float32)
+    gammas = tuple(jnp.asarray(rng.normal(size=(B, d)), jnp.float32)
+                   for d in (C, C, Cv, C))
+    betas = tuple(jnp.asarray(rng.normal(size=(B, d)), jnp.float32)
+                  for d in (C, C, Cv, C))
+
+    def w(*s):
+        return jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
+
+    params = (w(C, C), w(C), w(C, C), w(C), w(Cv, Cv), w(Cv),
+              w(Cv, C), w(C), w(C, 2 * C), w(2 * C), w(2 * C, C), w(C))
+    return xq, xk, xv, gammas, betas, params
+
+
+@pytest.mark.parametrize("shape", [(19, 100, 4), (100, 19, 2)])
+def test_fused_ca_block_matches_reference(shape):
+    """Both decoder CA orientations (joints query vertices / vertices
+    query joints): values and FULL gradients vs the XLA oracle."""
+    from pmce_tpu.ops.fused_attention import (
+        ca_block_reference,
+        fused_ca_block,
+    )
+
+    Nq, Nk, H = shape
+    rng = np.random.default_rng(21)
+    B, C, Cv = 3, 32, 32
+    xq, xk, xv, gammas, betas, params = _ca_fixture(rng, B, Nq, Nk, C, Cv)
+
+    y = fused_ca_block(xq, xk, xv, gammas, betas, params, H)
+    ref = ca_block_reference(xq, xk, xv, gammas, betas, params, H)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+    masks = (jnp.asarray(rng.integers(0, 2, (B, 1, 1)) * 1.25,
+                         jnp.float32),
+             jnp.asarray(rng.integers(0, 2, (B, 1, 1)) * 1.25,
+                         jnp.float32))
+    ga = jax.grad(lambda *a: jnp.sum(fused_ca_block(
+        *a, H, 1e-6, masks) ** 3), argnums=tuple(range(6)))(
+        xq, xk, xv, gammas, betas, params)
+    gb = jax.grad(lambda *a: jnp.sum(ca_block_reference(
+        *a, H, 1e-6, branch_masks=masks) ** 3),
+        argnums=tuple(range(6)))(xq, xk, xv, gammas, betas, params)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_ca_block_module_parity():
+    """CrossAttentionBlock(fused=True) must share the modular path's
+    parameter tree and match its output and gradients."""
+    from pmce_tpu.models.layers import CrossAttentionBlock
+
+    rng = np.random.default_rng(22)
+    B, Nq, Nk, C, H = 2, 100, 19, 32, 4
+    xq = jnp.asarray(rng.normal(size=(B, Nq, C)), jnp.float32)
+    xk = jnp.asarray(rng.normal(size=(B, Nk, C)), jnp.float32)
+    xv = jnp.asarray(rng.normal(size=(B, Nk, C)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(B, 48)), jnp.float32)
+
+    plain = CrossAttentionBlock(q_dim=C, k_dim=C, v_dim=C, num_heads=H,
+                                mlp_ratio=2.0, fused=False)
+    fused = CrossAttentionBlock(q_dim=C, k_dim=C, v_dim=C, num_heads=H,
+                                mlp_ratio=2.0, fused=True)
+    params = plain.init(jax.random.PRNGKey(0), xq, xk, xv, cond)
+    p2 = fused.init(jax.random.PRNGKey(0), xq, xk, xv, cond)
+    assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+    y0 = plain.apply(params, xq, xk, xv, cond)
+    y1 = fused.apply(params, xq, xk, xv, cond)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=5e-5, atol=5e-5)
+
+    g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, xq, xk, xv,
+                                                cond) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(fused.apply(p, xq, xk, xv,
+                                                cond) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 # ---------------------------------------------------------- fused GRU scan
 def test_fused_gru_layer_matches_reference():
     from pmce_tpu.ops.fused_attention import (
