@@ -2190,17 +2190,150 @@ def _fused_gru_layer_impl(gi, whh, bhh):
     )(gi, whh.astype(dtype), bhh.astype(jnp.float32).reshape(1, -1))
 
 
+def _gru_scan_save_kernel(gi_ref, whh_ref, bhh_ref, ys_ref, hprev_ref,
+                          r_ref, z_ref, n_ref, hn_ref, h_ref):
+    """Forward scan that ALSO saves per-step backward state: the f32
+    entry hidden state and the gate activations (r, z, n, and the
+    h_n pre-gate the reset product multiplies). Used only under
+    differentiation — the serving primal keeps :func:`_gru_scan_kernel`.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    h = h_ref[:]                                          # [B, H] f32
+    H = h.shape[-1]
+    hprev_ref[0] = h
+    gh = jnp.dot(h.astype(whh_ref.dtype), whh_ref[:],
+                 preferred_element_type=jnp.float32) + bhh_ref[:]
+    gi = gi_ref[0].astype(jnp.float32)                    # [B, 3H]
+    B = gi.shape[0]
+    i_r = jax.lax.slice(gi, (0, 0), (B, H))
+    i_z = jax.lax.slice(gi, (0, H), (B, 2 * H))
+    i_n = jax.lax.slice(gi, (0, 2 * H), (B, 3 * H))
+    h_r = jax.lax.slice(gh, (0, 0), (B, H))
+    h_z = jax.lax.slice(gh, (0, H), (B, 2 * H))
+    h_n = jax.lax.slice(gh, (0, 2 * H), (B, 3 * H))
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    hn = (1.0 - z) * n + z * h
+    r_ref[0], z_ref[0], n_ref[0], hn_ref[0] = r, z, n, h_n
+    h_ref[:] = hn
+    ys_ref[0] = hn.astype(ys_ref.dtype)
+
+
+def _gru_bwd_kernel(g_ref, hprev_ref, r_ref, z_ref, n_ref, hn_ref,
+                    whht_ref, dgi_ref, dgh_ref, carry_ref):
+    """Reverse-time scan of the GRU backward; carry_ref holds dL/dh_t.
+
+    Grid (batch_tiles, T) with time fastest; index maps run time
+    REVERSED (t_real = T−1−t), so the carry re-initializes at t == 0.
+    Per step: gate backward (elementwise) + ONE [B, 3H] @ [3H, H] matmul
+    for the recurrent grad — the XLA backward this replaces dispatches
+    a recompute matmul, the recurrent matmul AND a small-K dwhh
+    accumulation per step (dwhh/dbhh here happen outside, as one fat
+    time-batched matmul over the saved states).
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    dh = g_ref[0].astype(jnp.float32) + carry_ref[:]      # [B, H]
+    h_prev = hprev_ref[0]
+    r = r_ref[0]
+    z = z_ref[0]
+    n = n_ref[0]
+    h_n = hn_ref[0]
+    dz = dh * (h_prev - n)
+    dn_pre = (dh * (1.0 - z)) * (1.0 - n * n)
+    dr_pre = (dn_pre * h_n) * (r * (1.0 - r))
+    dz_pre = dz * (z * (1.0 - z))
+    dgi = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)
+    dgh = jnp.concatenate([dr_pre, dz_pre, dn_pre * r], axis=-1)
+    dgi_ref[0] = dgi
+    dgh_ref[0] = dgh
+    carry_ref[:] = dh * z + jnp.dot(
+        dgh.astype(whht_ref.dtype), whht_ref[:],
+        preferred_element_type=jnp.float32)
+
+
 def _fused_gru_layer_fwd(gi, whh, bhh):
-    return _fused_gru_layer_impl(gi, whh, bhh), (gi, whh, bhh)
+    T, B, threeH = gi.shape
+    H = threeH // 3
+    dtype = gi.dtype
+    Bt = min(_gru_batch_tile(B), 64)  # bwd-state blocks cap the tile
+
+    step_block = pl.BlockSpec((1, Bt, 3 * H), lambda b, t: (t, b, 0),
+                              memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0),
+                             memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    ys, hprev, r, z, n, hn = pl.pallas_call(
+        _gru_scan_save_kernel,
+        grid=(B // Bt, T),
+        in_specs=[step_block, full, full],
+        out_specs=[out_block] * 6,
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), dtype)]
+        + [jax.ShapeDtypeStruct((T, B, H), f32)] * 5,
+        scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=T * 2 * B * H * 3 * H,
+            bytes_accessed=(gi.size + 6 * T * B * H) * 4,
+            transcendentals=T * B * 3 * H,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(gi, whh.astype(dtype), bhh.astype(jnp.float32).reshape(1, -1))
+    return ys, (gi, whh, bhh, hprev, r, z, n, hn)
 
 
 def _fused_gru_layer_bwd(res, g):
-    """Backward by recompute through the XLA scan (same math); the forward
-    kernel's win — VMEM-resident weights across steps — matters most at
-    serving time."""
-    gi, whh, bhh = res
-    _, vjp = jax.vjp(gru_layer_scan_reference, gi, whh, bhh)
-    return vjp(g)
+    """Pallas reverse-time scan over the forward's saved gate state; the
+    weight gradients batch over all T·B steps OUTSIDE the kernel as two
+    fat matmul/reduce ops (the XLA scan backward accumulated them with a
+    small-K matmul per step)."""
+    gi, whh, bhh, hprev, r, z, n, hn = res
+    T, B, threeH = gi.shape
+    H = threeH // 3
+    dtype = gi.dtype
+    Bt = min(_gru_batch_tile(B), 64)
+
+    hstep = pl.BlockSpec((1, Bt, H), lambda b, t: (T - 1 - t, b, 0),
+                         memory_space=pltpu.VMEM)
+    gstep = pl.BlockSpec((1, Bt, 3 * H), lambda b, t: (T - 1 - t, b, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dgi, dgh = pl.pallas_call(
+        _gru_bwd_kernel,
+        grid=(B // Bt, T),
+        in_specs=[hstep] * 6 + [full],
+        out_specs=[gstep, gstep],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 3 * H), f32)] * 2,
+        scratch_shapes=[pltpu.VMEM((Bt, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=T * 2 * B * 3 * H * H,
+            bytes_accessed=(6 * T * B * H + 2 * T * B * 3 * H) * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(g.astype(f32), hprev, r, z, n, hn,
+      jnp.transpose(whh).astype(dtype))
+
+    # Weight grads: one fat time-batched matmul / reduce (operands cast
+    # to the compute dtype exactly as the forward cast them).
+    dgh_c = dgh.reshape(T * B, 3 * H).astype(dtype)
+    dwhh = jax.lax.dot_general(
+        hprev.reshape(T * B, H).astype(dtype), dgh_c,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(whh.dtype)
+    dbhh = jnp.sum(dgh.reshape(T * B, 3 * H), axis=0).astype(bhh.dtype)
+    return dgi.astype(gi.dtype), dwhh, dbhh
 
 
 fused_gru_layer.defvjp(_fused_gru_layer_fwd, _fused_gru_layer_bwd)

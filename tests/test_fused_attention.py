@@ -471,14 +471,16 @@ def test_fused_gru_layer_matches_reference():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_fused_gru_layer_gradients():
+@pytest.mark.parametrize("T,B,H", [(6, 8, 32), (3, 128, 16)])
+def test_fused_gru_layer_gradients(T, B, H):
+    """Incl. a batch above the backward's 64-row tile cap: the reverse
+    scan's carry must re-initialize per batch tile."""
     from pmce_tpu.ops.fused_attention import (
         fused_gru_layer,
         gru_layer_scan_reference,
     )
 
     rng = np.random.default_rng(22)
-    T, B, H = 6, 8, 32
     gi = jnp.asarray(rng.normal(size=(T, B, 3 * H)), jnp.float32)
     whh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.2, jnp.float32)
     bhh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.2, jnp.float32)
