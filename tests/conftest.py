@@ -21,8 +21,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: trainer-step compiles dominate test wall
-# time on CPU; cache them across runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# time on CPU; cache them across runs. The directory is keyed by the same
+# backend+CPU-feature tag as the production cache (utils/compile_cache):
+# round 3 shipped an unkeyed tests/.jax_cache, and full-suite runs on a
+# different host loaded 136 entries compiled with AMX/AVX10 features this
+# machine lacked, spewing cpu_aot_loader machine-feature/SIGILL errors.
+from pmce_tpu.utils.compile_cache import machine_tag  # noqa: E402
+
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache",
+                          machine_tag())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
