@@ -104,21 +104,35 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
     dh = C // num_heads
     scale = 1.0 / math.sqrt(dh)
 
-    qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv).astype(h.dtype)                   # [R, 3C]
+    qkvf = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) + bqkv
     bf16 = h.dtype == jnp.bfloat16
     if bf16:
+        # The 1/sqrt(dh) scale is applied HERE, in f32, before the single
+        # bf16 rounding of q: `q_bf16 * bf16(scale)` double-rounds every
+        # score AND biases the softmax temperature by bf16(scale)'s ~1e-4
+        # relative error — measured 0.114 mm MPJPE drift vs the f32 model,
+        # over the documented 0.1 mm serving tolerance (round-3 verdict).
+        # The multiply fuses into the bias-add chain: zero extra passes.
+        q_all = (jax.lax.slice(qkvf, (0, 0), (R, C))
+                 * jnp.float32(scale)).astype(h.dtype)
+        kv = jax.lax.slice(qkvf, (0, C), (R, 3 * C)).astype(h.dtype)
         maskb = mask01.astype(jnp.bfloat16)              # one [R, R] pass
         ones = _ones_col(R, jnp.bfloat16) if fold_rowsum else None
     else:
+        qkv = qkvf.astype(h.dtype)                       # [R, 3C]
         logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [R, R]
 
     outs = []
     for hd in range(num_heads):
-        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
-        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
-        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
-                          (R, 2 * C + (hd + 1) * dh))
+        if bf16:
+            q = jax.lax.slice(q_all, (0, hd * dh), (R, (hd + 1) * dh))
+            k = jax.lax.slice(kv, (0, hd * dh), (R, (hd + 1) * dh))
+            v = jax.lax.slice(kv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        else:
+            q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+            k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+            v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                              (R, 2 * C + (hd + 1) * dh))
         if bf16:
             # bf16 serving path: every [R, R]-extent op is the enemy (the
             # score stage is VPU-bound, not MXU-bound), so the score
@@ -133,7 +147,7 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
             # and exp's bf16 argument quantizes scores at ~0.2% — the
             # same order as the bf16 rounding of v itself.
             s = jax.lax.dot_general(
-                q * jnp.bfloat16(scale), k, (((1,), (1,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                     jnp.bfloat16(30.0))) * maskb
@@ -178,20 +192,29 @@ def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
     scale = 1.0 / math.sqrt(dh)
     bf16 = h.dtype == jnp.bfloat16
 
-    qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv).astype(h.dtype)                    # [G·N, 3C]
+    qkvf = jnp.dot(h, wqkv, preferred_element_type=jnp.float32) + bqkv
     if bf16:
+        # f32 scale on q before the single bf16 rounding — see _attn_core.
+        q_all = (jax.lax.slice(qkvf, (0, 0), (R, C))
+                 * jnp.float32(scale)).astype(h.dtype)
+        kv = jax.lax.slice(qkvf, (0, C), (R, 3 * C)).astype(h.dtype)
         maskb = mask01.astype(jnp.bfloat16)               # [N, N]
         ones = _ones_col(N, jnp.bfloat16) if fold_rowsum else None
     else:
+        qkv = qkvf.astype(h.dtype)                        # [G·N, 3C]
         logmask = (mask01 - 1.0) * jnp.float32(-_NEG_INF)  # [N, N]
 
     head_outs = []
     for hd in range(num_heads):
-        q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
-        k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
-        v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
-                          (R, 2 * C + (hd + 1) * dh))
+        if bf16:
+            q = jax.lax.slice(q_all, (0, hd * dh), (R, (hd + 1) * dh))
+            k = jax.lax.slice(kv, (0, hd * dh), (R, (hd + 1) * dh))
+            v = jax.lax.slice(kv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+        else:
+            q = jax.lax.slice(qkv, (0, hd * dh), (R, (hd + 1) * dh))
+            k = jax.lax.slice(qkv, (0, C + hd * dh), (R, C + (hd + 1) * dh))
+            v = jax.lax.slice(qkv, (0, 2 * C + hd * dh),
+                              (R, 2 * C + (hd + 1) * dh))
         clip_outs = []
         for g in range(G):
             qg = jax.lax.slice(q, (g * N, 0), ((g + 1) * N, dh))
@@ -202,7 +225,7 @@ def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
                 # one f32→bf16 convert, multiplicative post-exp mask,
                 # row-sum on the AV matmul) — rationale in _attn_core.
                 s = jax.lax.dot_general(
-                    qg * jnp.bfloat16(scale), kg, (((1,), (1,)), ((), ())),
+                    qg, kg, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                         jnp.bfloat16(30.0))) * maskb
@@ -1392,8 +1415,11 @@ def _ada_block_bwd_kernel(x_ref, g_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
     dx1_ln, dg2v, db2v = _adaln_bwd_from_stats(dh2, u2, inv2, sig2, g2)
     dx1 = gy + dx1_ln
 
-    dm2_ref[0, 0, 0] = jnp.sum(gy * mo)
-    dm1_ref[0, 0, 0] = jnp.sum(dx1 * a)
+    # Full-block (1,1,1) stores: Mosaic rejects scalar stores to VMEM
+    # ("Cannot store scalars to VMEM"); interpret mode tolerated them, so
+    # CPU tests passed while the kernel failed to lower on real TPU.
+    dm2_ref[:] = jnp.sum(gy * mo, keepdims=True).reshape(1, 1, 1)
+    dm1_ref[:] = jnp.sum(dx1 * a, keepdims=True).reshape(1, 1, 1)
 
     da = (dx1 * m1).astype(dt)
     dh1, dwqkv, dbqkv, dwproj, dbproj = _attn_bwd_saved(
@@ -1717,8 +1743,11 @@ def _ca_block_bwd_kernel(xq_ref, xk_ref, xv_ref, g_ref, gq_ref, bgq_ref,
                                                g2_ref[0])
     dx1 = gy + dx1_ln
 
-    dm2_ref[0, 0, 0] = jnp.sum(gy * mo)
-    dm1_ref[0, 0, 0] = jnp.sum(dx1 * a)
+    # Full-block (1,1,1) stores: Mosaic rejects scalar stores to VMEM
+    # ("Cannot store scalars to VMEM"); interpret mode tolerated them, so
+    # CPU tests passed while the kernel failed to lower on real TPU.
+    dm2_ref[:] = jnp.sum(gy * mo, keepdims=True).reshape(1, 1, 1)
+    dm1_ref[:] = jnp.sum(dx1 * a, keepdims=True).reshape(1, 1, 1)
 
     da = (dx1 * m1).astype(dt)
     dq_all, dk_all, dv_all, dwproj, dbproj = _ca_bwd_saved(
@@ -2367,13 +2396,16 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
     scale = 1.0 / math.sqrt(dh)
     dt = q_in.dtype
 
-    q = (jnp.dot(q_in, wq, preferred_element_type=jnp.float32)
-         + bq).astype(dt)
+    bf16 = dt == jnp.bfloat16
+    qf = jnp.dot(q_in, wq, preferred_element_type=jnp.float32) + bq
+    if bf16:
+        # f32 scale on q before the single bf16 rounding — see _attn_core.
+        qf = qf * jnp.float32(scale)
+    q = qf.astype(dt)
     k = (jnp.dot(k_in, wk, preferred_element_type=jnp.float32)
          + bk).astype(dt)
     v = (jnp.dot(v_in, wv, preferred_element_type=jnp.float32)
          + bv).astype(dt)
-    bf16 = dt == jnp.bfloat16
     if bf16:
         maskb = kv_mask.astype(jnp.bfloat16)                  # [1, Nk]
         ones = _ones_col(Nk, jnp.bfloat16) if fold_rowsum else None
@@ -2385,11 +2417,11 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
         k_h = jax.lax.slice(k, (0, hd * dh), (Nk, (hd + 1) * dh))
         v_h = jax.lax.slice(v, (0, hd * dv), (Nk, (hd + 1) * dv))
         if bf16:
-            # Minimal-pass [Nq, Nk] score stage (scale on the q slice,
-            # one f32→bf16 convert, multiplicative post-exp mask,
+            # Minimal-pass [Nq, Nk] score stage (f32 scale pre-folded into
+            # q above, one f32→bf16 convert, multiplicative post-exp mask,
             # row-sum on the AV matmul) — rationale in _attn_core.
             s = jax.lax.dot_general(
-                q_h * jnp.bfloat16(scale), k_h, (((1,), (1,)), ((), ())),
+                q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
                                     jnp.bfloat16(30.0))) * maskb
