@@ -129,6 +129,23 @@ class DemoPipeline:
             print(f"[pipeline +{time.time() - self._t0:7.1f}s] {msg}",
                   flush=True)
 
+    def reset_telemetry(self) -> None:
+        """Zero the stage clocks. Used by the two-pass telemetry protocol:
+        pass 1 runs the full pipeline to absorb every shape's compile
+        (round-3 verdict weak #4: a 24-frame run spent 41.9 s of 'pmce'
+        stage time in shape-dependent recompiles), then the clocks reset
+        and pass 2 measures steady state against the warm jit cache."""
+        self.stage_seconds = collections.defaultdict(float)
+        self._transfer_seconds = 0.0
+
+    def add_stage_seconds(self, name: str, seconds: float,
+                          transfer: bool = False) -> None:
+        """Account an EXTERNAL stage (e.g. the person detector, which runs
+        before the pipeline owns the frames) into the stage table."""
+        self.stage_seconds[name] += seconds
+        if transfer:
+            self._transfer_seconds += seconds
+
     # -------------------------------------------------------- telemetry
     @contextlib.contextmanager
     def _stage(self, name: str, *, transfer: bool = False):
