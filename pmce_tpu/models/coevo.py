@@ -261,10 +261,12 @@ class CoevolutionDecoder(nn.Module):
         """
         B = joints.shape[0]
 
-        # Temporal aggregation: BiGRU over T, take the mid-frame output.
-        y = BiGRU(self.gru_hidden, num_layers=2, dtype=self.dtype,
-                  name="gru_cur")(jnp.swapaxes(img_feats, 0, 1))                                             # [T, B, 2048]
-        cond = y[self.seqlen // 2]                    # [B, 2048]
+        # Temporal aggregation: BiGRU over T, mid-frame output only — the
+        # final GRU layer scans just the steps that output depends on
+        # (bit-identical to slicing the full sequence; see BiGRU.__call__).
+        cond = BiGRU(self.gru_hidden, num_layers=2, dtype=self.dtype,
+                     name="gru_cur")(jnp.swapaxes(img_feats, 0, 1),
+                                     mid_index=self.seqlen // 2)  # [B, 2048]
 
         # Initialize each coarse vertex at its nearest template joint.
         rel = jnp.asarray(self.vj_relation, jnp.int32)

@@ -681,7 +681,8 @@ class BiGRU(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 mid_index: int | None = None) -> jax.Array:
         """x: [T, B, C] → [T, B, 2 * hidden_dim].
 
         Scan-latency engineering (the recurrent chain is the only part of
@@ -693,6 +694,16 @@ class BiGRU(nn.Module):
           carry is [2, B, H], halving the sequential step count per layer.
         Values are bit-identical to the naive per-step formulation (same
         contraction per direction, no reassociation).
+
+        mid_index: if set, return ONLY the step-``mid_index`` output of the
+        final layer as [B, 2 * hidden_dim]. The final layer then scans just
+        the steps that output depends on — forward 0..mid (mid+1 steps),
+        backward T-1..mid (T-mid steps) — and skips the input projection of
+        the trimmed steps. Bit-identical to slicing the full output: a GRU
+        output at step t depends only on inputs 0..t (its direction's
+        prefix), so the dropped steps were dead work whenever only the mid
+        frame is consumed, which is all the reference ever does with this
+        GRU (CoevoDecoder.py:229 takes ``y[int(T/2)]``).
         """
         T, B, _ = x.shape
         H = self.hidden_dim
@@ -707,6 +718,39 @@ class BiGRU(nn.Module):
             cells = [TorchGRUCell(H, in_dim=x.shape[-1], dtype=self.dtype,
                                   name=f"l{layer}_{name}")
                      for name in ("fwd", "bwd")]
+            if mid_index is not None and layer == self.num_layers - 1:
+                # Final layer, mid-frame-only: unequal per-direction
+                # lengths, so the directions scan separately.
+                xf, xb = x[: mid_index + 1], x[::-1][: T - mid_index]
+                if use_kernel:
+                    from pmce_tpu.ops.fused_attention import fused_gru_layer
+
+                    hf = fused_gru_layer(cells[0].precompute_inputs(xf),
+                                         cells[0].hh_kernel(),
+                                         cells[0].hh_bias())[-1]
+                    hb = fused_gru_layer(cells[1].precompute_inputs(xb),
+                                         cells[1].hh_kernel(),
+                                         cells[1].hh_bias())[-1]
+                    return jnp.concatenate([hf, hb], axis=-1)
+                outs = []
+                for cell, xd in zip(cells, (xf, xb)):
+                    whh = cell.hh_kernel().astype(dt)
+                    bhh = cell.hh_bias().astype(dt)
+
+                    def step(carry, gi_t, whh=whh, bhh=bhh):
+                        gh = jnp.dot(carry, whh) + bhh
+                        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                        r = jax.nn.sigmoid(i_r + h_r)
+                        z = jax.nn.sigmoid(i_z + h_z)
+                        n = jnp.tanh(i_n + r * h_n)
+                        return (1.0 - z) * n + z * carry, None
+
+                    h_last, _ = jax.lax.scan(
+                        step, jnp.zeros((B, H), dt),
+                        cell.precompute_inputs(xd))
+                    outs.append(h_last)
+                return jnp.concatenate(outs, axis=-1)
             if use_kernel:
                 from pmce_tpu.ops.fused_attention import fused_gru_layer
 

@@ -84,6 +84,36 @@ def test_bigru_matches_oracle(rng):
     np.testing.assert_allclose(out, h0, atol=1e-5)
 
 
+def test_bigru_mid_index_matches_full(rng):
+    """mid_index trims the final layer's scans to the steps the mid-frame
+    output depends on; the result must equal slicing the full output —
+    exactly, on both odd and even mid positions."""
+    T, B, I, Hd = 7, 3, 10, 6
+    x = jnp.asarray(rng.normal(size=(T, B, I)), jnp.float32)
+    mod = BiGRU(hidden_dim=Hd, num_layers=2)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    full = np.asarray(mod.apply(params, x))
+    for mid in (0, T // 2, T - 1):
+        mid_out = np.asarray(mod.apply(params, x, mid_index=mid))
+        assert mid_out.shape == (B, 2 * Hd)
+        np.testing.assert_allclose(mid_out, full[mid], atol=1e-6)
+
+
+def test_bigru_mid_index_kernel_path(rng):
+    """mid_index under the bf16 policy (fused_gru_layer path, interpreted
+    off-TPU) must match the f32 scan's mid frame within bf16 tolerance."""
+    T, B, I, Hd = 16, 8, 24, 16
+    x = jnp.asarray(rng.normal(size=(T, B, I)), jnp.float32)
+    scan = BiGRU(hidden_dim=Hd, num_layers=2, dtype=None)
+    kern = BiGRU(hidden_dim=Hd, num_layers=2, dtype=jnp.bfloat16)
+    params = scan.init(jax.random.PRNGKey(0), x)
+    full = np.asarray(scan.apply(params, x), np.float32)
+    mid_out = np.asarray(kern.apply(params, x, mid_index=T // 2),
+                         np.float32)
+    scale = np.abs(full[T // 2]).max()
+    assert np.abs(mid_out - full[T // 2]).max() / scale < 0.05
+
+
 def test_mlp_exact_gelu(rng):
     x = rng.normal(size=(2, 4, 8)).astype(np.float32)
     mod = Mlp(hidden_dim=16, out_dim=8)
