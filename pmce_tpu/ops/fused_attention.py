@@ -90,6 +90,94 @@ def _av_rowsum(p, v, ones):
     return o, r
 
 
+def _merge_factor(num_heads: int, dh: int) -> int:
+    """Heads per merged score/AV matmul group (bf16 path): the largest
+    divisor of num_heads whose merged channel band m·dh fits one lane
+    tile (128). 1 disables merging.
+
+    Only SUB-SUBLANE heads (dh ≤ 16) merge: at dh = 32 the per-head loop
+    already wins (trunk measured 8.75 ms vs 11.58 ms merged — the +25%
+    MXU instructions of the widened AV outweigh the saved per-head op
+    overhead), while at dh = 8 every per-head k/v slice is an 8-lane
+    sub-tile extract whose relayout dominates."""
+    if dh > 16:
+        return 1
+    m = 1
+    for cand in (2, 4, 8):
+        if num_heads % cand == 0 and cand * dh <= 128:
+            m = cand
+    return m
+
+
+def _head_band_mask(m: int, rows_per_block: int, band_per_head: int, dtype):
+    """[m·R, m·d] 0/1 mask: stacked-copy b keeps only head b's channels."""
+    shape = (m * rows_per_block, m * band_per_head)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (r // rows_per_block == c // band_per_head).astype(dtype)
+
+
+def _tile_rows(a, m: int):
+    """[R, N] → [m·R, N] (m stacked copies; sublane-aligned concat)."""
+    return jnp.concatenate([a] * m, axis=0) if m > 1 else a
+
+
+def _merged_heads(q_all, k_all, v_all, maskb, num_heads: int, m: int):
+    """bf16 multi-head attention with m heads per score/AV matmul pair.
+
+    q_all [Nq, C] (pre-scaled), k_all [Nk, C], v_all [Nk, Cv]; maskb
+    either [1, Nk] (key-validity, broadcasts) or [Nq, Nk] (dense 0/1,
+    tiled m× over the stacked rows). Returns f32 [Nq, Cv] normalized
+    head outputs (pre-output-projection).
+
+    Head h's score matmul contracts ONLY over its own dh channels, so
+    stacking m copies of the group's q band along SUBLANES and zeroing,
+    per copy, every other head's channels makes ONE [m·Nq, m·dh] ⊙
+    [Nk, m·dh] dot compute all m heads' [Nq, Nk] score blocks — the
+    zeroed channels contribute exact 0s, so every score (and the AV
+    contraction, which runs over the same Nk rows in the same order) is
+    BIT-IDENTICAL to the per-head loop. The win is structural: m× fewer
+    MXU ops and, above all, no per-head 32-lane (or 8-lane) k/v slices,
+    whose Mosaic relayouts dominate the measured per-head cost (trunk:
+    onehead 5.38 ms vs base 8.75 ms at identical arithmetic volume).
+    The softmax row-sum rides the widened AV matmul (_av_rowsum form);
+    the m stacked output blocks fold back to [Nq, Cv] by masked sums —
+    adding exact zeros, still bit-identical.
+    """
+    Nq, C = q_all.shape
+    Nk, Cv = v_all.shape
+    dh = C // num_heads
+    dv = Cv // num_heads
+    bandq = m * dh
+    bandv = m * dv
+    groups = num_heads // m
+    qmask = _head_band_mask(m, Nq, dh, jnp.bfloat16)
+    omask = _head_band_mask(m, Nq, dv, jnp.float32)
+    maskm = maskb if maskb.shape[0] == 1 else _tile_rows(maskb, m)
+    ones = _ones_col(Nk, jnp.bfloat16)
+    outs = []
+    for g in range(groups):
+        qg = jax.lax.slice(q_all, (0, g * bandq), (Nq, (g + 1) * bandq))
+        kg = jax.lax.slice(k_all, (0, g * bandq), (Nk, (g + 1) * bandq))
+        vg = jax.lax.slice(v_all, (0, g * bandv), (Nk, (g + 1) * bandv))
+        q_stack = _tile_rows(qg, m) * qmask                  # [m·Nq, bandq]
+        s = jax.lax.dot_general(q_stack, kg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                jnp.bfloat16(30.0))) * maskm  # [m·Nq, Nk]
+        vx = jnp.concatenate([vg, ones], axis=1)             # [Nk, bandv+8]
+        o_ext = jnp.dot(p, vx, preferred_element_type=jnp.float32)
+        r = jnp.maximum(
+            jax.lax.slice(o_ext, (0, bandv), (m * Nq, bandv + 1)), 1e-30)
+        on = (jax.lax.slice(o_ext, (0, 0), (m * Nq, bandv))
+              * jnp.reciprocal(r)) * omask                   # [m·Nq, bandv]
+        og = jax.lax.slice(on, (0, 0), (Nq, bandv))
+        for b in range(1, m):
+            og = og + jax.lax.slice(on, (b * Nq, 0), ((b + 1) * Nq, bandv))
+        outs.append(og)
+    return jnp.concatenate(outs, axis=-1) if groups > 1 else outs[0]
+
+
 def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
                fold_rowsum: bool = True):
     """Masked MHSA on a VMEM-resident [R, C] row block; returns f32 [R, C].
@@ -117,6 +205,14 @@ def _attn_core(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
                  * jnp.float32(scale)).astype(h.dtype)
         kv = jax.lax.slice(qkvf, (0, C), (R, 3 * C)).astype(h.dtype)
         maskb = mask01.astype(jnp.bfloat16)              # one [R, R] pass
+        m = _merge_factor(num_heads, dh)
+        if m > 1:
+            k_all = jax.lax.slice(kv, (0, 0), (R, C))
+            v_all = jax.lax.slice(kv, (0, C), (R, 2 * C))
+            o = _merged_heads(q_all, k_all, v_all, maskb, num_heads,
+                              m).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
         ones = _ones_col(R, jnp.bfloat16) if fold_rowsum else None
     else:
         qkv = qkvf.astype(h.dtype)                       # [R, 3C]
@@ -199,6 +295,23 @@ def _attn_core_cliploop(h, wqkv, bqkv, wproj, bproj, mask01, num_heads: int,
                  * jnp.float32(scale)).astype(h.dtype)
         kv = jax.lax.slice(qkvf, (0, C), (R, 3 * C)).astype(h.dtype)
         maskb = mask01.astype(jnp.bfloat16)               # [N, N]
+        m = _merge_factor(num_heads, dh)
+        if m > 1:
+            # Per-clip sublane slices of the stacked rows, merged heads
+            # within each clip (see _merged_heads).
+            k_all = jax.lax.slice(kv, (0, 0), (R, C))
+            v_all = jax.lax.slice(kv, (0, C), (R, 2 * C))
+            clip_outs = []
+            for g in range(G):
+                o = _merged_heads(
+                    jax.lax.slice(q_all, (g * N, 0), ((g + 1) * N, C)),
+                    jax.lax.slice(k_all, (g * N, 0), ((g + 1) * N, C)),
+                    jax.lax.slice(v_all, (g * N, 0), ((g + 1) * N, C)),
+                    maskb, num_heads, m)
+                clip_outs.append(o)
+            o = jnp.concatenate(clip_outs, axis=0).astype(h.dtype)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
         ones = _ones_col(N, jnp.bfloat16) if fold_rowsum else None
     else:
         qkv = qkvf.astype(h.dtype)                        # [G·N, 3C]
@@ -289,15 +402,39 @@ def _gelu(hh, dtype):
     return 0.5 * x * (1.0 + jnp.tanh(inner))
 
 
+def _row_mean_mxu(xf):
+    """Row-mean of an f32 [R, C] block as ONE thin MXU matmul.
+
+    The C-lane reduce otherwise lowers to a multi-step VPU shuffle tree
+    per statistic, and these kernels are VPU-bound (measured: the AdaLN
+    stage alone is 1.47 ms of the 5.87 ms decoder chain). A constant
+    [C, 8] column of 1/C turns the reduce into a matmul the MXU absorbs
+    for free next to the blocks' own projections. Lanes 1–7 are padding.
+
+    Non-2D inputs (the XLA reference/VJP-recompute paths, which batch
+    over clips and are not VPU-bound) keep the plain lane reduce — as do
+    blocks wider than one lane tile (C > 128): at C = 256 the trunk's
+    full-lane VPU reduce already beats the f32 stat matmuls (measured
+    8.75 → 9.28 ms regression), while the chain's half-lane C = 64
+    reduce loses to the MXU (5.87 → 5.49 ms win).
+    """
+    if xf.ndim != 2 or xf.shape[-1] > 128:
+        return jnp.mean(xf, axis=-1, keepdims=True)
+    R, C = xf.shape
+    w = jnp.concatenate([jnp.full((C, 1), 1.0 / C, jnp.float32),
+                         jnp.zeros((C, 7), jnp.float32)], axis=1)
+    s = jnp.dot(xf, w, preferred_element_type=jnp.float32)
+    return jax.lax.slice(s, (0, 0), (R, 1))
+
+
 def _ln_f32(xf, scale, bias, eps):
     """LayerNorm on an f32 [R, C] block (f32 stats, like flax).
 
-    Stats come from ONE pair of fused multiply-reduce passes
-    (E[x²] − E[x]², instead of jnp.var's centered second pass): the
-    kernels are VPU-bound, and the ~1e-5 absolute var difference at
-    residual-stream magnitudes is far below every test tolerance."""
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    Stats are E[x²] − E[x]² (no centered second pass), and both row
+    reductions ride the MXU (_row_mean_mxu) — the x² elementwise pass is
+    the only VPU work the statistics cost."""
+    mean = _row_mean_mxu(xf)
+    var = _row_mean_mxu(xf * xf) - mean * mean
     return (xf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
 
 
@@ -1186,11 +1323,13 @@ def _adaln_f32(xf, gamma, beta, eps):
     """Reference AdaLayerNorm on an f32 [R, C] block: UNBIASED std and eps
     OUTSIDE the sqrt (CoevoDecoder.py:24-29). γ/β broadcast rows."""
     C = xf.shape[-1]
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = (jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean) \
-        * (C / (C - 1))
-    # Single-pass stats + reciprocal-multiply (vs a [R, C] divide): the
-    # inverse is a [R, 1] column, so the divide collapses C-fold.
+    # Row stats ride the MXU (_row_mean_mxu) — the decoder chain's AdaLN
+    # stage was its single largest non-matmul cost (1.47 ms / 5.87 ms)
+    # with VPU lane-reduce trees at half-lane occupancy (C=64).
+    mean = _row_mean_mxu(xf)
+    var = (_row_mean_mxu(xf * xf) - mean * mean) * (C / (C - 1))
+    # Reciprocal-multiply (vs a [R, C] divide): the inverse is a [R, 1]
+    # column, so the divide collapses C-fold.
     inv = jnp.reciprocal(jnp.sqrt(var) + eps)
     return gamma * ((xf - mean) * inv) + beta
 
@@ -2408,6 +2547,11 @@ def _cross_attn_core(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
          + bv).astype(dt)
     if bf16:
         maskb = kv_mask.astype(jnp.bfloat16)                  # [1, Nk]
+        m = min(_merge_factor(num_heads, dh), _merge_factor(num_heads, dv))
+        if m > 1:
+            o = _merged_heads(q, k, v, maskb, num_heads, m).astype(dt)
+            return jnp.dot(o, wproj,
+                           preferred_element_type=jnp.float32) + bproj
         ones = _ones_col(Nk, jnp.bfloat16) if fold_rowsum else None
     else:
         logmask = (kv_mask - 1.0) * jnp.float32(-_NEG_INF)    # [1, Nk]
@@ -2458,7 +2602,7 @@ def _ca_ffn_block(xq, k_in, v_in, g, b, w, kv_mask, num_heads, eps):
     nk = _adaln_f32(k_in.astype(jnp.float32), g[1], b[1], eps).astype(dt)
     nv = _adaln_f32(v_in.astype(jnp.float32), g[2], b[2], eps).astype(dt)
     a = _cross_attn_core(nq, nk, nv, wq, bq, wk, bk, wv, bv, wproj, bproj,
-                         kv_mask, num_heads)
+                         kv_mask, num_heads, fold_rowsum=True)
     x1 = xqf + a
     h = _adaln_f32(x1, g[3], b[3], eps).astype(dt)
     hh = jnp.dot(h, w1, preferred_element_type=jnp.float32) + bb1

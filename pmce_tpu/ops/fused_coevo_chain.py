@@ -82,8 +82,11 @@ def _ca_ffn_grouped(xq, k_in, v_in, g, b, w, mask, num_heads, eps, G, Nq):
     nv = _adaln_f32(v_in.astype(jnp.float32),
                     _expand_clip_rows(g[2], G, Nk),
                     _expand_clip_rows(b[2], G, Nk), eps).astype(dt)
+    # fold_rowsum: the joint-side CA sums softmax rows over G·448 = 1792
+    # LANES — a deep VPU shuffle tree per head; folding it into the AV
+    # matmul costs 8 extra lanes on an MXU op (see _av_rowsum).
     a = _cross_attn_core(nq, nk, nv, wq, bq, wk, bk, wv, bv, wproj, bproj,
-                         mask, num_heads)
+                         mask, num_heads, fold_rowsum=True)
     x1 = xqf + a
     h = _adaln_f32(x1, _expand_clip_rows(g[3], G, Nq),
                    _expand_clip_rows(b[3], G, Nq), eps).astype(dt)
