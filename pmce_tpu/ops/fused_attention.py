@@ -402,8 +402,8 @@ def _gelu(hh, dtype):
     return 0.5 * x * (1.0 + jnp.tanh(inner))
 
 
-def _row_mean_mxu(xf):
-    """Row-mean of an f32 [R, C] block as ONE thin MXU matmul.
+def _row_mean_mxu(xf, mxu: bool = False):
+    """Row-mean of an f32 [R, C] block, optionally as ONE thin MXU matmul.
 
     The C-lane reduce otherwise lowers to a multi-step VPU shuffle tree
     per statistic, and these kernels are VPU-bound (measured: the AdaLN
@@ -411,14 +411,25 @@ def _row_mean_mxu(xf):
     [C, 8] column of 1/C turns the reduce into a matmul the MXU absorbs
     for free next to the blocks' own projections. Lanes 1–7 are padding.
 
+    ``mxu`` must be passed True ONLY under the bf16 compute policy: the
+    MXU's default single pass rounds f32 operands to bf16, so the stat
+    carries bf16-level input rounding — inside the serving policy's
+    one-bf16-ulp end-metric contract, but NOT acceptable for the f32
+    fused path (CPU tests run true f32 matmuls and cannot see the
+    difference; this gate is what keeps the f32 tier honest on TPU).
+    Exact alternatives measured and rejected: Precision.HIGHEST blows
+    the 16 MB scoped-VMEM budget (+1.85 MB, 6-pass scratch); a hi/lo
+    bf16-split double matmul is f32-grade but costs the win back
+    (chain 5.46 → 6.49 ms).
+
     Non-2D inputs (the XLA reference/VJP-recompute paths, which batch
     over clips and are not VPU-bound) keep the plain lane reduce — as do
     blocks wider than one lane tile (C > 128): at C = 256 the trunk's
-    full-lane VPU reduce already beats the f32 stat matmuls (measured
+    full-lane VPU reduce already beats the stat matmuls (measured
     8.75 → 9.28 ms regression), while the chain's half-lane C = 64
-    reduce loses to the MXU (5.87 → 5.49 ms win).
+    reduce loses to the MXU (5.87 → 5.46 ms win).
     """
-    if xf.ndim != 2 or xf.shape[-1] > 128:
+    if not mxu or xf.ndim != 2 or xf.shape[-1] > 128:
         return jnp.mean(xf, axis=-1, keepdims=True)
     R, C = xf.shape
     w = jnp.concatenate([jnp.full((C, 1), 1.0 / C, jnp.float32),
@@ -427,14 +438,15 @@ def _row_mean_mxu(xf):
     return jax.lax.slice(s, (0, 0), (R, 1))
 
 
-def _ln_f32(xf, scale, bias, eps):
+def _ln_f32(xf, scale, bias, eps, mxu: bool = False):
     """LayerNorm on an f32 [R, C] block (f32 stats, like flax).
 
-    Stats are E[x²] − E[x]² (no centered second pass), and both row
-    reductions ride the MXU (_row_mean_mxu) — the x² elementwise pass is
-    the only VPU work the statistics cost."""
-    mean = _row_mean_mxu(xf)
-    var = _row_mean_mxu(xf * xf) - mean * mean
+    Stats are E[x²] − E[x]² (no centered second pass). With ``mxu``
+    (bf16 compute policy only — see _row_mean_mxu) both row reductions
+    ride the MXU and the x² elementwise pass is the only VPU work the
+    statistics cost."""
+    mean = _row_mean_mxu(xf, mxu)
+    var = _row_mean_mxu(xf * xf, mxu) - mean * mean
     return (xf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
 
 
@@ -454,12 +466,13 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     """
     x = x_ref[:]
     xf = x.astype(jnp.float32)
-    h1 = _ln_f32(xf, g1_ref[:], b1_ref[:], eps).astype(x.dtype)
+    mxu = x.dtype == jnp.bfloat16
+    h1 = _ln_f32(xf, g1_ref[:], b1_ref[:], eps, mxu).astype(x.dtype)
     a = _attn_core(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:], bproj_ref[:],
                    mask_ref[:], num_heads)
     x1 = xf + a * m1_ref[:]                              # f32 [R, C]
 
-    h2 = _ln_f32(x1, g2_ref[:], b2_ref[:], eps).astype(x.dtype)
+    h2 = _ln_f32(x1, g2_ref[:], b2_ref[:], eps, mxu).astype(x.dtype)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
     hh = hh + bb1_ref[:]
     hh = _gelu(hh, x.dtype)                               # exact (erf) GELU
@@ -467,7 +480,7 @@ def _block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  preferred_element_type=jnp.float32) + bb2_ref[:]
     y = x1 + mo * m2_ref[:]
     if post_norm:
-        y = _ln_f32(y, gp_ref[:], bp_ref[:], post_eps)
+        y = _ln_f32(y, gp_ref[:], bp_ref[:], post_eps, mxu)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -1319,15 +1332,16 @@ fused_transformer_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _adaln_f32(xf, gamma, beta, eps):
+def _adaln_f32(xf, gamma, beta, eps, mxu: bool = False):
     """Reference AdaLayerNorm on an f32 [R, C] block: UNBIASED std and eps
     OUTSIDE the sqrt (CoevoDecoder.py:24-29). γ/β broadcast rows."""
     C = xf.shape[-1]
-    # Row stats ride the MXU (_row_mean_mxu) — the decoder chain's AdaLN
-    # stage was its single largest non-matmul cost (1.47 ms / 5.87 ms)
-    # with VPU lane-reduce trees at half-lane occupancy (C=64).
-    mean = _row_mean_mxu(xf)
-    var = (_row_mean_mxu(xf * xf) - mean * mean) * (C / (C - 1))
+    # With ``mxu`` (bf16 compute policy only) row stats ride the MXU
+    # (_row_mean_mxu) — the decoder chain's AdaLN stage was its single
+    # largest non-matmul cost (1.47 ms / 5.87 ms) with VPU lane-reduce
+    # trees at half-lane occupancy (C=64).
+    mean = _row_mean_mxu(xf, mxu)
+    var = (_row_mean_mxu(xf * xf, mxu) - mean * mean) * (C / (C - 1))
     # Reciprocal-multiply (vs a [R, C] divide): the inverse is a [R, 1]
     # column, so the divide collapses C-fold.
     inv = jnp.reciprocal(jnp.sqrt(var) + eps)
@@ -1343,12 +1357,13 @@ def _ada_block_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wproj_ref,
     # Per-clip vectors arrive as [1, 1, C] / [1, 1, 1] blocks (Mosaic
     # requires the last two block dims to match the array); [0] yields
     # [1, C] / [1, 1] rows that broadcast over the clip's tokens.
-    h1 = _adaln_f32(xf, g1_ref[0], b1_ref[0], eps).astype(x.dtype)
+    mxu = x.dtype == jnp.bfloat16
+    h1 = _adaln_f32(xf, g1_ref[0], b1_ref[0], eps, mxu).astype(x.dtype)
     a = _attn_core(h1, wqkv_ref[:], bqkv_ref[:], wproj_ref[:], bproj_ref[:],
                    mask_ref[:], num_heads)
     x1 = xf + a * m1_ref[0]
 
-    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps).astype(x.dtype)
+    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps, mxu).astype(x.dtype)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
     hh = hh + bb1_ref[:]
     hh = _gelu(hh, x.dtype)                               # exact (erf) GELU
@@ -1801,16 +1816,17 @@ def _ca_block_kernel(xq_ref, xk_ref, xv_ref, gq_ref, bgq_ref, gk_ref,
     xq = xq_ref[:]
     dt = xq.dtype
     xqf = xq.astype(jnp.float32)
-    nq = _adaln_f32(xqf, gq_ref[0], bgq_ref[0], eps).astype(dt)
+    mxu = dt == jnp.bfloat16
+    nq = _adaln_f32(xqf, gq_ref[0], bgq_ref[0], eps, mxu).astype(dt)
     nk = _adaln_f32(xk_ref[:].astype(jnp.float32), gk_ref[0], bgk_ref[0],
-                    eps).astype(dt)
+                    eps, mxu).astype(dt)
     nv = _adaln_f32(xv_ref[:].astype(jnp.float32), gv_ref[0], bgv_ref[0],
-                    eps).astype(dt)
+                    eps, mxu).astype(dt)
     a = _cross_attn_core(nq, nk, nv, wq_ref[:], bq_ref[:], wk_ref[:],
                          bk_ref[:], wv_ref[:], bv_ref[:], wproj_ref[:],
                          bproj_ref[:], kvmask_ref[:], num_heads)
     x1 = xqf + a * m1_ref[0]
-    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps).astype(dt)
+    h2 = _adaln_f32(x1, g2_ref[0], b2_ref[0], eps, mxu).astype(dt)
     hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32) \
         + bb1_ref[:]
     hh = _gelu(hh, dt)
@@ -2598,13 +2614,14 @@ def _ca_ffn_block(xq, k_in, v_in, g, b, w, kv_mask, num_heads, eps):
     (wq, bq, wk, bk, wv, bv, wproj, bproj, w1, bb1, w2, bb2) = w
     dt = xq.dtype
     xqf = xq.astype(jnp.float32)
-    nq = _adaln_f32(xqf, g[0], b[0], eps).astype(dt)
-    nk = _adaln_f32(k_in.astype(jnp.float32), g[1], b[1], eps).astype(dt)
-    nv = _adaln_f32(v_in.astype(jnp.float32), g[2], b[2], eps).astype(dt)
+    mxu = dt == jnp.bfloat16
+    nq = _adaln_f32(xqf, g[0], b[0], eps, mxu).astype(dt)
+    nk = _adaln_f32(k_in.astype(jnp.float32), g[1], b[1], eps, mxu).astype(dt)
+    nv = _adaln_f32(v_in.astype(jnp.float32), g[2], b[2], eps, mxu).astype(dt)
     a = _cross_attn_core(nq, nk, nv, wq, bq, wk, bk, wv, bv, wproj, bproj,
                          kv_mask, num_heads, fold_rowsum=True)
     x1 = xqf + a
-    h = _adaln_f32(x1, g[3], b[3], eps).astype(dt)
+    h = _adaln_f32(x1, g[3], b[3], eps, mxu).astype(dt)
     hh = jnp.dot(h, w1, preferred_element_type=jnp.float32) + bb1
     hh = _gelu(hh, dt)
     mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
@@ -2618,10 +2635,11 @@ def _sa_ffn_block(x, g, b, w, mask, num_heads, eps):
     (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2) = w
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    h1 = _adaln_f32(xf, g[0], b[0], eps).astype(dt)
+    mxu = dt == jnp.bfloat16
+    h1 = _adaln_f32(xf, g[0], b[0], eps, mxu).astype(dt)
     a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
     x1 = xf + a
-    h2 = _adaln_f32(x1, g[1], b[1], eps).astype(dt)
+    h2 = _adaln_f32(x1, g[1], b[1], eps, mxu).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
     hh = _gelu(hh, dt)
     mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
@@ -2918,14 +2936,15 @@ def _pre_norm_block(x, w, mask, num_heads, eps, G=1):
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, w1, bb1, w2, bb2) = w
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    h1 = _ln_f32(xf, g1, b1, eps).astype(dt)
+    mxu = dt == jnp.bfloat16
+    h1 = _ln_f32(xf, g1, b1, eps, mxu).astype(dt)
     if G == 1:
         a = _attn_core(h1, wqkv, bqkv, wproj, bproj, mask, num_heads)
     else:
         a = _attn_core_cliploop(h1, wqkv, bqkv, wproj, bproj, mask,
                                 num_heads, G)
     x1 = xf + a
-    h2 = _ln_f32(x1, g2, b2, eps).astype(dt)
+    h2 = _ln_f32(x1, g2, b2, eps, mxu).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
     hh = _gelu(hh, dt)
     mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
@@ -2950,14 +2969,15 @@ def _lifter_trunk_kernel(x_ref, tpe_ref, smask_ref, tmask_ref, gs_ref,
     x = x_ref[:]
     dt = x.dtype
     for i in range(depth):
+        mxu = dt == jnp.bfloat16
         x = _pre_norm_block(x, blk[2 * i], smask, num_heads, eps, G)
-        x = _ln_f32(x.astype(jnp.float32), gs, bs, eps).astype(dt)
+        x = _ln_f32(x.astype(jnp.float32), gs, bs, eps, mxu).astype(dt)
         if i == 0:
             # Temporal pos-embed lands between the first spatial and
             # temporal blocks (SpaTemHead, PoseEstimation.py:86-90).
             x = (x.astype(jnp.float32) + tpe).astype(dt)
         x = _pre_norm_block(x, blk[2 * i + 1], tmask, num_heads, eps, G)
-        x = _ln_f32(x.astype(jnp.float32), gt, bt, eps).astype(dt)
+        x = _ln_f32(x.astype(jnp.float32), gt, bt, eps, mxu).astype(dt)
     out_ref[:] = x.astype(out_ref.dtype)
 
 

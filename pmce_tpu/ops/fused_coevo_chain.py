@@ -74,14 +74,15 @@ def _ca_ffn_grouped(xq, k_in, v_in, g, b, w, mask, num_heads, eps, G, Nq):
     dt = xq.dtype
     Nk = k_in.shape[0] // G
     xqf = xq.astype(jnp.float32)
+    mxu = dt == jnp.bfloat16
     nq = _adaln_f32(xqf, _expand_clip_rows(g[0], G, Nq),
-                    _expand_clip_rows(b[0], G, Nq), eps).astype(dt)
+                    _expand_clip_rows(b[0], G, Nq), eps, mxu).astype(dt)
     nk = _adaln_f32(k_in.astype(jnp.float32),
                     _expand_clip_rows(g[1], G, Nk),
-                    _expand_clip_rows(b[1], G, Nk), eps).astype(dt)
+                    _expand_clip_rows(b[1], G, Nk), eps, mxu).astype(dt)
     nv = _adaln_f32(v_in.astype(jnp.float32),
                     _expand_clip_rows(g[2], G, Nk),
-                    _expand_clip_rows(b[2], G, Nk), eps).astype(dt)
+                    _expand_clip_rows(b[2], G, Nk), eps, mxu).astype(dt)
     # fold_rowsum: the joint-side CA sums softmax rows over G·448 = 1792
     # LANES — a deep VPU shuffle tree per head; folding it into the AV
     # matmul costs 8 extra lanes on an MXU op (see _av_rowsum).
@@ -89,7 +90,7 @@ def _ca_ffn_grouped(xq, k_in, v_in, g, b, w, mask, num_heads, eps, G, Nq):
                          mask, num_heads, fold_rowsum=True)
     x1 = xqf + a
     h = _adaln_f32(x1, _expand_clip_rows(g[3], G, Nq),
-                   _expand_clip_rows(b[3], G, Nq), eps).astype(dt)
+                   _expand_clip_rows(b[3], G, Nq), eps, mxu).astype(dt)
     hh = jnp.dot(h, w1, preferred_element_type=jnp.float32) + bb1
     hh = _gelu(hh, dt)
     mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2
@@ -102,11 +103,12 @@ def _sa_ffn_grouped(x, g, b, w, num_heads, eps, G, N, attn):
     (wqkv, bqkv, wproj, bproj, w1, bb1, w2, bb2) = w
     dt = x.dtype
     xf = x.astype(jnp.float32)
+    mxu = dt == jnp.bfloat16
     h1 = _adaln_f32(xf, _expand_clip_rows(g[0], G, N),
-                    _expand_clip_rows(b[0], G, N), eps).astype(dt)
+                    _expand_clip_rows(b[0], G, N), eps, mxu).astype(dt)
     x1 = xf + attn(h1, wqkv, bqkv, wproj, bproj)
     h2 = _adaln_f32(x1, _expand_clip_rows(g[1], G, N),
-                    _expand_clip_rows(b[1], G, N), eps).astype(dt)
+                    _expand_clip_rows(b[1], G, N), eps, mxu).astype(dt)
     hh = jnp.dot(h2, w1, preferred_element_type=jnp.float32) + bb1
     hh = _gelu(hh, dt)
     mo = jnp.dot(hh, w2, preferred_element_type=jnp.float32) + bb2

@@ -260,6 +260,52 @@ def run_variant(variant: str) -> None:
                            preferred_element_type=jnp.float32) + bproj
 
         fa._attn_core = attn_try
+    if variant == "merge2":
+        # Head-merging at m=2 for dh=32: AV volume is NEUTRAL ([2R, Nk]
+        # @ [Nk, 72→128 lanes] = two per-head [R, Nk] @ [Nk, 32→128]),
+        # unlike the measured m=4 loss (11.58 ms) where the widened AV
+        # doubles MXU volume; scores still halve op count and the k/v
+        # band slices land on 64-lane boundaries.
+        fa._merge_factor = lambda nh, dh: 2 if nh % 2 == 0 else 1
+    if variant == "hybridav":
+        # Merged scores (m heads per score matmul) + PER-HEAD AV:
+        # p slices are SUBLANE cuts of the stacked [m·Nq, Nk] block
+        # (cheap), v slices are the same 32-lane cuts as the base loop.
+        # Attributes how much of the m=4 loss was the widened AV.
+        def merged_hybrid(q_all, k_all, v_all, maskb, num_heads, m):
+            Nq, C = q_all.shape
+            Nk, Cv = v_all.shape
+            dh = C // num_heads
+            dv = Cv // num_heads
+            bandq = m * dh
+            groups = num_heads // m
+            qmask = fa._head_band_mask(m, Nq, dh, jnp.bfloat16)
+            maskm = maskb if maskb.shape[0] == 1 else fa._tile_rows(maskb, m)
+            outs = []
+            for g in range(num_heads // m):
+                qg = jax.lax.slice(q_all, (0, g * bandq),
+                                   (Nq, (g + 1) * bandq))
+                kg = jax.lax.slice(k_all, (0, g * bandq),
+                                   (Nk, (g + 1) * bandq))
+                q_stack = fa._tile_rows(qg, m) * qmask
+                s = jax.lax.dot_general(q_stack, kg,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jnp.exp(jnp.minimum(s.astype(jnp.bfloat16),
+                                        jnp.bfloat16(30.0))) * maskm
+                for b in range(m):
+                    hd = g * m + b
+                    pb = jax.lax.slice(p, (b * Nq, 0), ((b + 1) * Nq, Nk))
+                    vb = jax.lax.slice(v_all, (0, hd * dv),
+                                       (Nk, (hd + 1) * dv))
+                    r = jnp.maximum(jnp.sum(pb.astype(jnp.float32), axis=-1,
+                                            keepdims=True), 1e-30)
+                    o = jnp.dot(pb, vb, preferred_element_type=jnp.float32)
+                    outs.append(o * jnp.reciprocal(r))
+            return jnp.concatenate(outs, axis=-1)
+
+        fa._merge_factor = lambda nh, dh: 4 if nh % 4 == 0 else 1
+        fa._merged_heads = merged_hybrid
 
     B, T, J, C, depth = 256, 16, 19, 256, 3
     heads = 1 if variant == "onehead" else 8
