@@ -32,6 +32,7 @@ def run_variant(variant: str) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from pmce_tpu.utils import compile_cache
 
     compile_cache.enable()
