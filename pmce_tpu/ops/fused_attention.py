@@ -446,7 +446,12 @@ def _ln_f32(xf, scale, bias, eps, mxu: bool = False):
     ride the MXU and the x² elementwise pass is the only VPU work the
     statistics cost."""
     mean = _row_mean_mxu(xf, mxu)
-    var = _row_mean_mxu(xf * xf, mxu) - mean * mean
+    # Clamp: with MXU stats the inputs to E[x²]−E[x]² carry ~2⁻⁹-relative
+    # rounding, so var can come out slightly negative for near-constant
+    # rows; eps (~1e-6) is smaller than that error scale and rsqrt of a
+    # negative is NaN — which would survive the multiplicative post-exp
+    # attention masks (NaN·0 = NaN).
+    var = jnp.maximum(_row_mean_mxu(xf * xf, mxu) - mean * mean, 0.0)
     return (xf - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
 
 
@@ -1341,7 +1346,11 @@ def _adaln_f32(xf, gamma, beta, eps, mxu: bool = False):
     # largest non-matmul cost (1.47 ms / 5.87 ms) with VPU lane-reduce
     # trees at half-lane occupancy (C=64).
     mean = _row_mean_mxu(xf, mxu)
-    var = (_row_mean_mxu(xf * xf, mxu) - mean * mean) * (C / (C - 1))
+    # maximum(·, 0): MXU-stat rounding can push E[x²]−E[x]² negative on
+    # near-constant rows (error scale ~2⁻⁹·mean² beats eps), and sqrt of
+    # a negative is NaN that survives multiplicative attention masks.
+    var = jnp.maximum(_row_mean_mxu(xf * xf, mxu) - mean * mean,
+                      0.0) * (C / (C - 1))
     # Reciprocal-multiply (vs a [R, C] divide): the inverse is a [R, 1]
     # column, so the divide collapses C-fold.
     inv = jnp.reciprocal(jnp.sqrt(var) + eps)

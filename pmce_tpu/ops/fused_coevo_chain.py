@@ -180,9 +180,12 @@ def _chain_kernel(jc_ref, vc_ref, gam_ref, bet_ref,
             [b12[:, 8], b12[:, 9]], saj_w, num_heads_j, eps, G, Jp,
             attn=lambda h, wqkv, bqkv, wproj, bproj: _attn_core(
                 h, wqkv, bqkv, wproj, bproj, jsa_mask_ref[:], num_heads_j,
-                # dh=8 heads: the widened-AV concat costs more than the
-                # [G·Jp, G·Jp] row-sum it replaces (measured +1.1 ms on
-                # the whole chain with folding everywhere).
+                # fold_rowsum only reaches the per-head f32 path; under
+                # the bf16 policy num_heads_j=8/dh=8 takes _attn_core's
+                # merged-head branch, which always folds the row-sum into
+                # the widened AV matmul and ignores this flag. For the
+                # f32 per-head loop the unfolded [G·Jp, G·Jp] row-sum
+                # stays cheaper (measured +1.1 ms with folding).
                 fold_rowsum=False))
         vertx2 = _sa_ffn_grouped(
             vertx1.astype(dt), [g12[:, 10], g12[:, 11]],

@@ -279,7 +279,6 @@ def run_variant(variant: str) -> None:
             dh = C // num_heads
             dv = Cv // num_heads
             bandq = m * dh
-            groups = num_heads // m
             qmask = fa._head_band_mask(m, Nq, dh, jnp.bfloat16)
             maskm = maskb if maskb.shape[0] == 1 else fa._tile_rows(maskb, m)
             outs = []
