@@ -54,8 +54,14 @@ def fit_cam_closed_form(pose3d: jax.Array, target2d: jax.Array,
     # Degenerate fits (collapsed keypoints, anti-correlated joints) can
     # yield a ≤ 0; clamp the scale to a small POSITIVE floor so tx/ty
     # stay bounded instead of exploding to ~1e12 and overflowing the
-    # rasterizer's pixel ints downstream.
-    a = jnp.maximum(a, 1e-3)
+    # rasterizer's pixel ints downstream. Symmetrically, near-collapsed
+    # 3D joints (e.g. an untrained lifter) make `a` explode, projecting
+    # the body across tens of crop widths — every triangle then spans
+    # the frame and a CPU rasterizer degrades to O(faces·H·W). A body
+    # fitted to a detector crop never needs scale > ~4 (the subject
+    # would span 4+ crop widths), so cap there; the rasterizer's bbox
+    # guards remain the backstop.
+    a = jnp.clip(a, 1e-3, 4.0)
     b = tm[..., 0, :] - a[..., None] * xm[..., 0, :]
     tx_ty = b / a[..., None]
     return jnp.concatenate([a[..., None], tx_ty], axis=-1)

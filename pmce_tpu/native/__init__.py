@@ -66,6 +66,8 @@ def load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.rasterize_mesh.restype = None
 
