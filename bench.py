@@ -86,6 +86,18 @@ def main() -> None:
     fps = float(np.median(rates))
     tflops = tf_per_call * fps / B
 
+    # Record into PERF.json — the single source of truth the README table
+    # is generated from (tests/test_perf_docs.py enforces consistency).
+    from pmce_tpu.utils import perf
+
+    perf.record("serving", {
+        "mid_frames_per_s": round(fps, 1),
+        "tflops_implied": round(tflops, 1),
+        "batch": B,
+        "vs_baseline": round(fps / REFERENCE_BASELINE_FPS, 2),
+        "source": "bench.py",
+    })
+
     print(json.dumps({
         "metric": "pmce_mesh_recovery_throughput",
         "value": round(fps, 1),

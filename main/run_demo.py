@@ -154,7 +154,12 @@ def main() -> None:
             detect_fn = lambda fr: detector.detect_video(fr)  # noqa: E731
             dets, kps = None, None
             if args.vitpose == "off":
-                args.vitpose = "tiny"
+                # ViT-HUGE, the reference's model class
+                # (/root/reference/pose_detector/ViTPose_huge_coco_256x192
+                # .py) — random weights are fine for TIMING, and an honest
+                # full-stack table must price the reference's pose2d cost,
+                # not a tiny stand-in (round-4 verdict weak #3).
+                args.vitpose = "huge"
     else:
         if not args.vid_file:
             p.error("--vid_file or --synthetic required")
@@ -288,6 +293,23 @@ def main() -> None:
           f"({len(results)} tracked people)")
     stage_rep = (pipe.print_stage_table(len(frames))
                  if telemetry and results else None)
+    if stage_rep and args.synthetic and args.full_stack:
+        # The canonical full-stack configuration is the one PERF.json (and
+        # the generated README row) tracks: every stage the reference demo
+        # pays for, detector + ViTPose included.
+        from pmce_tpu.utils import perf
+
+        perf.record("demo_full_stack", {
+            "config": (f"--synthetic --full-stack, {args.frames} frames "
+                       f"240x320, ViTPose-{args.vitpose}"),
+            "n_frames": len(frames),
+            "fps_measured": round(stage_rep["fps_measured"], 2),
+            "modeled_direct_attached_fps":
+                round(stage_rep["modeled_direct_attached_fps"], 2),
+            "stage_seconds": {k: round(v, 3) for k, v in
+                              stage_rep["stage_seconds"].items()},
+            "source": "main/run_demo.py --synthetic --full-stack",
+        })
 
     # ---- outputs ----
     meta = {pid: {"frames": r["frames"].tolist()}

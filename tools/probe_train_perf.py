@@ -12,6 +12,11 @@ Usage: python tools/probe_train_perf.py --batch 32 --iters 16
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 import time
 
@@ -87,13 +92,29 @@ def main():
     args = ap.parse_args()
     compile_cache.enable()
 
+    results = {}
     for name, dtype, fused in [
         ("f32", None, False),
         ("bf16+fused", jnp.bfloat16, True),
     ]:
         ms, sps = probe(dtype, fused, args.batch, args.iters)
+        results[name] = ms
         print(f"train[{name:10s}] B={args.batch}: {ms:8.2f} ms/step  "
               f"{sps:8.1f} samples/s", flush=True)
+
+    if args.batch == 128:
+        # Record the canonical (B=128) row into PERF.json — the README
+        # training row is generated from it (tests/test_perf_docs.py).
+        from pmce_tpu.utils import perf
+
+        perf.record("train_step", {
+            "batch": args.batch,
+            "f32_ms": round(results["f32"], 2),
+            "bf16_fused_ms": round(results["bf16+fused"], 2),
+            "speedup_vs_f32": round(
+                results["f32"] / results["bf16+fused"], 2),
+            "source": "tools/probe_train_perf.py --batch 128",
+        })
 
 
 if __name__ == "__main__":
