@@ -14,6 +14,11 @@ Source layout parity: /root/reference/data/Human36M/dataset.py:194-350
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 
 import numpy as np

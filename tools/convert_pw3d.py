@@ -7,6 +7,11 @@ Source layout parity: /root/reference/data/PW3D/dataset.py:90-183.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import argparse
 
 import numpy as np

@@ -15,6 +15,11 @@ Usage: python tools/probe_gridstep.py [G ...]   (default 1 2)
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import functools
 import sys
 import time

@@ -12,6 +12,11 @@ Pieces timed independently (each jitted alone, forced execution):
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import time
 
 import jax

@@ -6,6 +6,11 @@ execution timing (lazy scalar accumulation, one readback per trial).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import json
 import sys
 import time

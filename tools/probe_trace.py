@@ -1,5 +1,10 @@
 """One-off: capture a jax.profiler trace of the bf16 PMCE forward on TPU."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
 import faulthandler
 import sys
 import time
