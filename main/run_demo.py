@@ -112,6 +112,12 @@ def main() -> None:
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the telemetry warmup pass (stage times will "
                         "include one-time jit compiles)")
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
+                   help="model compute precision. bf16 is the serving "
+                        "policy (f32 params, bf16 matmuls, f32 coordinate "
+                        "heads/heatmap head — the same one-ulp-relative "
+                        "error contract as `bench.py`); f32 pins "
+                        "everything for metric-grade output")
     args = p.parse_args()
 
     if args.platform:
@@ -186,8 +192,14 @@ def main() -> None:
         jr17 = coco17_regressor(art.J_regressor)
 
     # ---- models ----
+    # bf16 = the serving precision policy (f32 master params, bf16 MXU
+    # matmuls, f32 coordinate heads) with the whole-chain Pallas kernels —
+    # exactly the configuration bench.py measures.
+    bf16 = args.precision == "bf16"
+    cdtype = jnp.bfloat16 if bf16 else None
     model, _assets = create_pmce(num_joint=19, art=art, coarsening=coarse,
-                                 joint_regressor_h36m=jr17)
+                                 joint_regressor_h36m=jr17,
+                                 dtype=cdtype, fused_attn=bf16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 16, 19, 2)),
                                  jnp.zeros((1, 16, 2048)))
@@ -201,7 +213,7 @@ def main() -> None:
     _pmce_jit = jax.jit(model.apply)
     pmce_apply = lambda a, b: _pmce_jit(params, a, b)  # noqa: E731
 
-    resnet = ResNet50()
+    resnet = ResNet50(dtype=cdtype)
     if args.spin_weights:
         # Real SPIN feature-extractor weights via the importer.
         rn_all = ckpt_lib.load_checkpoint(args.spin_weights)["variables"]
@@ -242,8 +254,9 @@ def main() -> None:
     if args.vitpose != "off":
         from pmce_tpu.models.vitpose import ViTPose, ViTPoseConfig
 
-        cfg_vp = (ViTPoseConfig.huge() if args.vitpose == "huge"
-                  else ViTPoseConfig.tiny())
+        cfg_vp = (ViTPoseConfig.huge(dtype=cdtype)
+                  if args.vitpose == "huge"
+                  else ViTPoseConfig.tiny(dtype=cdtype))
         vp = ViTPose(cfg_vp)
         if args.vitpose_weights:
             vp_vars = ckpt_lib.load_checkpoint(
@@ -265,13 +278,17 @@ def main() -> None:
     def one_pass():
         """Detector (if deferred) + pipeline, with the detector accounted
         as a stage under the same forced-execution discipline (its boxes
-        come back to the host, which forces device work)."""
+        come back to the host, which forces device work). The raw frames
+        ride the tunnel ONCE: the detector consumes the same device-
+        resident stack the pipeline crops from."""
         d = dets
+        frames_dev = pipe.upload_frames(frames)
         if detect_fn is not None:
             td = time.perf_counter()
-            d = detect_fn(frames)
+            d = detect_fn(frames_dev)
             pipe.add_stage_seconds("detect", time.perf_counter() - td)
-        return d, pipe.run(frames, d, keypoints_per_frame=kps, render=True)
+        return d, pipe.run(frames, d, keypoints_per_frame=kps, render=True,
+                           frames_dev=frames_dev)
 
     if telemetry and not args.no_warmup:
         # Two-pass protocol: pass 1 absorbs every jit compile (stage

@@ -241,8 +241,10 @@ class Detector:
 
         self._fwd = fwd
 
-    def detect_video(self, frames: np.ndarray, batch: int = 64) -> list:
-        """frames [T, H, W, 3] uint8 → per-frame [n_i, 4] float boxes
+    def detect_video(self, frames, batch: int = 64) -> list:
+        """frames [T, H, W, 3] uint8 (numpy, or an already device-resident
+        jax.Array — e.g. DemoPipeline.upload_frames' stack, avoiding a
+        second full-video H2D) → per-frame [n_i, 4] float boxes
         (full-frame pixels) for the tracker."""
         from pmce_tpu.demo.preprocess import resize_frames
 

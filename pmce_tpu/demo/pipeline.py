@@ -205,6 +205,20 @@ class DemoPipeline:
         return rep
 
     # ------------------------------------------------------------ stages
+    def upload_frames(self, frames: np.ndarray) -> jax.Array:
+        """Transfer the whole video to the device ONCE.
+
+        Every consumer (detector, per-tracklet crops) then gathers from
+        this device-resident stack instead of paying its own H2D of the
+        same bytes — the tunnel H2D is the single largest non-compute
+        cost, and the detector's copy used to hide a second full-video
+        transfer inside its stage time.
+        """
+        with self._stage("h2d_frames", transfer=True):
+            frames_dev = jax.device_put(np.ascontiguousarray(frames))
+            self._force(frames_dev)
+        return frames_dev
+
     def keypoints_for_crops(self, frames_dev: jax.Array,
                             crop_boxes: np.ndarray, n: int) -> np.ndarray:
         """2D keypoints (COCO-17, full-frame pixels) for person crops.
@@ -247,7 +261,8 @@ class DemoPipeline:
 
     def run_tracklet(self, frames: np.ndarray, bboxes_cxcywh: np.ndarray,
                      frame_ids: np.ndarray,
-                     keypoints: np.ndarray | None = None) -> dict:
+                     keypoints: np.ndarray | None = None,
+                     video_dev: jax.Array | None = None) -> dict:
         """Process one person tracklet.
 
         Args:
@@ -255,6 +270,9 @@ class DemoPipeline:
           bboxes_cxcywh: [N, 4] tracker output (cx, cy, w, h).
           frame_ids: [N] original frame indices.
           keypoints: optional [N, 17, 3] detector keypoints (skips ViTPose).
+          video_dev: optional device-resident FULL-video stack
+            (:meth:`upload_frames`); the tracklet's frames are then a
+            device-side gather instead of a fresh H2D transfer.
 
         Returns:
           {"mesh": [N, V, 3], "cam": [N, 3], "orig_cam": [N, 4],
@@ -273,14 +291,25 @@ class DemoPipeline:
         n = len(frames)
         B = cfg.feature_batch
         pad_n = (-n) % B
-        with self._stage("h2d_frames", transfer=True):
-            frames_dev = jax.device_put(np.concatenate(
-                [frames, np.repeat(frames[-1:], pad_n, axis=0)])
-                if pad_n else frames)
-            boxes_dev = jax.device_put(np.concatenate(
-                [crop_boxes, np.repeat(crop_boxes[-1:], pad_n, axis=0)])
-                if pad_n else crop_boxes)
-            self._force(frames_dev)
+        boxes_pad_np = (np.concatenate(
+            [crop_boxes, np.repeat(crop_boxes[-1:], pad_n, axis=0)])
+            if pad_n else crop_boxes)
+        if video_dev is not None:
+            # The video already lives on the device: the tracklet's padded
+            # frame stack is a device-side gather (no raw-frame H2D).
+            idx = np.concatenate(
+                [frame_ids, np.repeat(frame_ids[-1:], pad_n)]
+            ) if pad_n else np.asarray(frame_ids)
+            frames_dev = jnp.take(video_dev, jnp.asarray(idx, jnp.int32),
+                                  axis=0)
+            boxes_dev = jax.device_put(boxes_pad_np)
+        else:
+            with self._stage("h2d_frames", transfer=True):
+                frames_dev = jax.device_put(np.concatenate(
+                    [frames, np.repeat(frames[-1:], pad_n, axis=0)])
+                    if pad_n else frames)
+                boxes_dev = jax.device_put(boxes_pad_np)
+                self._force(frames_dev)
 
         # --- 2D keypoints (COCO-17 + pelvis/neck → 19) ---
         if keypoints is None:
@@ -367,7 +396,8 @@ class DemoPipeline:
     # ------------------------------------------------------------ driver
     def run(self, frames: np.ndarray, detections_per_frame: list,
             keypoints_per_frame: list | None = None,
-            render: bool = True) -> tuple:
+            render: bool = True,
+            frames_dev: jax.Array | None = None) -> tuple:
         """Full pipeline over a frame stack.
 
         Args:
@@ -375,11 +405,16 @@ class DemoPipeline:
           detections_per_frame: list of [K, 4] xywh person boxes per frame.
           keypoints_per_frame: optional list of [K, 17, 3] keypoints
             aligned with the detections (skips the ViTPose stage).
+          frames_dev: optional device-resident copy of ``frames`` from
+            :meth:`upload_frames` (e.g. shared with the detector); made
+            here if absent.
 
         Returns:
           (results dict {person_id: tracklet outputs},
            rendered frames [T, H, W, 3] or None).
         """
+        if frames_dev is None:
+            frames_dev = self.upload_frames(frames)
         # Clamp the reference's MIN_NUM_FRAMES=25 to the clip length so
         # short videos still produce tracks.
         with self._stage("track"):
@@ -414,7 +449,8 @@ class DemoPipeline:
                     rows.append(cands[k])
                 kps = np.stack(rows)
             results[pid] = self.run_tracklet(
-                frames[f_ids], tr["bbox"], f_ids, keypoints=kps)
+                frames[f_ids], tr["bbox"], f_ids, keypoints=kps,
+                video_dev=frames_dev)
 
         rendered = None
         if render and results:

@@ -15,6 +15,8 @@ torch).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -35,25 +37,27 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)
+            dtype=self.dtype, name=name)
+        conv = lambda *a, **k: nn.Conv(*a, dtype=self.dtype, **k)  # noqa
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(norm("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride,
-                      padding=1, use_bias=False, name="conv2")(out)
+        out = conv(self.planes, (3, 3), strides=self.stride,
+                   padding=1, use_bias=False, name="conv2")(out)
         out = nn.relu(norm("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name="conv3")(out)
+        out = conv(self.planes * 4, (1, 1), use_bias=False,
+                   name="conv3")(out)
         out = norm("bn3")(out)
         if self.downsample:
-            residual = nn.Conv(self.planes * 4, (1, 1),
-                               strides=self.stride, use_bias=False,
-                               name="down_conv")(x)
+            residual = conv(self.planes * 4, (1, 1),
+                            strides=self.stride, use_bias=False,
+                            name="down_conv")(x)
             residual = norm("down_bn")(residual)
         return nn.relu(out + residual)
 
@@ -66,6 +70,9 @@ class ResNet50(nn.Module):
 
     layers: tuple = (3, 4, 6, 3)
     width: int = 64
+    # Compute dtype (params stay f32). bf16 is the serving policy: conv
+    # stacks ride the MXU at 2x; the GAP output is emitted f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -74,9 +81,9 @@ class ResNet50(nn.Module):
         if x.shape[1] == 3:
             x = jnp.transpose(x, (0, 2, 3, 1))           # → NHWC
         x = nn.Conv(self.width, (7, 7), strides=2, padding=3,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -85,8 +92,10 @@ class ResNet50(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(p, stride=stride, downsample=(b == 0),
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{b}")(x, train)
-        return jnp.mean(x, axis=(1, 2))                  # GAP → [N, 2048]
+        # GAP accumulates and emits f32 regardless of compute dtype.
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # [N, 2048]
 
 
 class SMPLRegressor(nn.Module):

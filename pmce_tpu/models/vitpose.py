@@ -18,6 +18,7 @@ crops, which is where the ≥5× end-to-end speedup headroom comes from.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -37,14 +38,18 @@ class ViTPoseConfig:
     mlp_ratio: float = 4.0
     num_keypoints: int = 17
     deconv_channels: int = 256
+    # Compute dtype for the ViT trunk (params stay f32). The deconv head
+    # and final conv always run f32: heatmap values feed an argmax whose
+    # ties are decided at ~1e-3 — bf16 there visibly moves keypoints.
+    dtype: Any = None
 
     @classmethod
-    def huge(cls) -> "ViTPoseConfig":
-        return cls()
+    def huge(cls, dtype: Any = None) -> "ViTPoseConfig":
+        return cls(dtype=dtype)
 
     @classmethod
-    def tiny(cls) -> "ViTPoseConfig":
-        return cls(embed_dim=64, depth=2, num_heads=2)
+    def tiny(cls, dtype: Any = None) -> "ViTPoseConfig":
+        return cls(embed_dim=64, depth=2, num_heads=2, dtype=dtype)
 
     @property
     def grid(self) -> tuple:
@@ -65,18 +70,22 @@ class ViTPose(nn.Module):
 
         # Patch embed.
         x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
-                    strides=c.patch_size, name="patch_embed")(x)
+                    strides=c.patch_size, dtype=c.dtype,
+                    name="patch_embed")(x)
         x = x.reshape(x.shape[0], gh * gw, c.embed_dim)
         pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
                          (1, gh * gw, c.embed_dim))
-        x = x + pos
+        x = x + pos.astype(x.dtype)
 
         for i in range(c.depth):
             x = Block(c.embed_dim, c.num_heads, c.mlp_ratio, qkv_bias=True,
+                      dtype=c.dtype,
                       name=f"block{i}")(x, deterministic=not train)
+        x = x.astype(jnp.float32)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
         # Classic heatmap head: 2 × (deconv ×2, BN, ReLU) + 1×1 conv.
+        # Always f32 (see ViTPoseConfig.dtype note).
         x = x.reshape(x.shape[0], gh, gw, c.embed_dim)
         for i in range(2):
             # torch ConvTranspose2d(k=4, s=2, p=1) semantics: grad-of-conv

@@ -111,6 +111,34 @@ def render_readme_table(data: dict | None = None) -> str:
             f"direct-attached ({demo['n_frames']} frames; stages: "
             f"{stages}) |")
 
+    ref = d.get("ref_demo_budget")
+    if ref:
+        lines.append(
+            "| reference demo per-frame floor (measured from the "
+            "reference's OWN `lib/models/project_net.py` + verbatim "
+            "300-iter Adam fit loop, `tools/probe_ref_demo_budget.py`) | "
+            f"{ref['cam_fit_ms_per_window']:.1f} ms/window camera fit -> "
+            f"<= {ref['cam_fit_only_ceiling_fps']:.1f} fps ceiling from "
+            "that stage ALONE (stride-1 = one fit per frame; excludes its "
+            "per-frame ViTPose-huge mmpose call, YOLOv3, HMR features, "
+            "PMCE forward, pyrender) |")
+    if demo and ref:
+        ceiling = ref["cam_fit_only_ceiling_fps"]
+        lb = demo["fps_measured"] / ceiling
+        lb_da = demo["modeled_direct_attached_fps"] / ceiling
+        verdict = ("**MET** at the provable bound" if lb >= 5.0 else
+                   ("**MET** at the provable bound (direct-attached)"
+                    if lb_da >= 5.0 else
+                    "**not provable** against the all-floors ceiling"))
+        lines.append(
+            "| demo >=5x north star (vs the reference demo on its 3090 — "
+            "direct measurement blocked: no CUDA reference environment) | "
+            f"{verdict}: {demo['fps_measured']:.1f} fps measured / "
+            f"{ceiling:.1f} fps reference ceiling = "
+            f"**>= {lb:.1f}x** ({lb_da:.1f}x direct-attached); the "
+            "ceiling prices ONLY the reference's camera-fit loop, so the "
+            "true ratio is higher |")
+
     lines += ["", _MARK_END]
     return "\n".join(lines)
 
