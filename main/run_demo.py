@@ -112,6 +112,9 @@ def main() -> None:
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the telemetry warmup pass (stage times will "
                         "include one-time jit compiles)")
+    p.add_argument("--record-perf", action="store_true",
+                   help="with --vid_file + --telemetry: record the stage "
+                        "table into PERF.json (demo_real_footage row)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
                    help="model compute precision. bf16 is the serving "
                         "policy (f32 params, bf16 matmuls, f32 coordinate "
@@ -326,6 +329,25 @@ def main() -> None:
             "stage_seconds": {k: round(v, 3) for k, v in
                               stage_rep["stage_seconds"].items()},
             "source": "main/run_demo.py --synthetic --full-stack",
+        })
+    elif stage_rep and args.vid_file and args.record_perf:
+        # Real-footage telemetry: opt-in recording (a user's arbitrary
+        # clip should not silently replace the tracked measurement).
+        from pmce_tpu.utils import perf
+
+        H, W = frames.shape[1:3]
+        perf.record("demo_real_footage", {
+            "config": (f"--vid_file {os.path.basename(args.vid_file)} "
+                       f"({len(frames)} frames {H}x{W}), "
+                       f"ViTPose-{args.vitpose}"),
+            "n_frames": len(frames),
+            "fps_measured": round(stage_rep["fps_measured"], 2),
+            "modeled_direct_attached_fps":
+                round(stage_rep["modeled_direct_attached_fps"], 2),
+            "stage_seconds": {k: round(v, 3) for k, v in
+                              stage_rep["stage_seconds"].items()},
+            "source": "main/run_demo.py --vid_file ... --telemetry "
+                      "--record-perf",
         })
 
     # ---- outputs ----

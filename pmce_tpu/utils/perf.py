@@ -111,6 +111,20 @@ def render_readme_table(data: dict | None = None) -> str:
             f"direct-attached ({demo['n_frames']} frames; stages: "
             f"{stages}) |")
 
+    real = d.get("demo_real_footage")
+    if real:
+        st = real["stage_seconds"]
+        stages = ", ".join(f"{k} {v:.2f}s"
+                           for k, v in sorted(st.items(),
+                                              key=lambda kv: -kv[1]))
+        lines.append(
+            f"| end-to-end demo, real-footage path ({real['config']}: "
+            "video file -> detector -> ViTPose -> features -> PMCE -> "
+            "camera fit -> render) | "
+            f"{real['fps_measured']:.1f} fps measured / "
+            f"{real['modeled_direct_attached_fps']:.1f} fps modeled "
+            f"direct-attached (stages: {stages}) |")
+
     ref = d.get("ref_demo_budget")
     if ref:
         lines.append(
