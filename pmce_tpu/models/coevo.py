@@ -34,6 +34,7 @@ from pmce_tpu.models.layers import (
     AdaBlock,
     AdaBlockParams,
     BiGRU,
+    Conv1dParams,
     CrossAttentionBlock,
     CrossAttentionBlockParams,
     DenseParams,
@@ -308,10 +309,24 @@ class CoevolutionDecoder(nn.Module):
         # Conv1d(431→6890, k=3, pad 1) over the coordinate axis: treat the
         # 431 vertices as channels and x/y/z as the length-3 spatial dim.
         # f32: it maps meter-scale coordinates to meter-scale coordinates.
-        mesh = nn.Conv(
-            features=self.num_verts_full, kernel_size=(3,), padding=1,
-            dtype=jnp.float32, name="upsample_conv",
-        )(vertx.transpose(0, 2, 1)).transpose(0, 2, 1)  # [B, 6890, 3]
+        # Expressed as ONE [3B, 3·431] @ [3·431, 6890] GEMM instead of an
+        # XLA conv: the length-3 windowed-conv emitter ran at ~18 TFLOP/s
+        # device-measured (the pathological batched-matmul class
+        # ops/fused_coevo_chain.py documents); this is the identical
+        # contraction — out[i] = Σ_k x_pad[i+k]·W[k] — as a clean MXU tile.
+        wk, wb = Conv1dParams(3, self.num_vertx, self.num_verts_full,
+                              name="upsample_conv")()
+        vf = vertx.astype(jnp.float32)
+        x0, x1, x2 = vf[:, :, 0], vf[:, :, 1], vf[:, :, 2]  # [B, 431]
+        z = jnp.zeros_like(x0)
+        x3 = jnp.stack([
+            jnp.concatenate([z, x0, x1], axis=-1),   # out pos 0: (pad,x,y)
+            jnp.concatenate([x0, x1, x2], axis=-1),  # out pos 1
+            jnp.concatenate([x1, x2, z], axis=-1),   # out pos 2: (y,z,pad)
+        ], axis=1)                                   # [B, 3, 3·431]
+        wf = wk.reshape(3 * self.num_vertx, self.num_verts_full)
+        mesh = (x3.reshape(B * 3, -1) @ wf + wb).reshape(
+            B, 3, self.num_verts_full).transpose(0, 2, 1)  # [B, 6890, 3]
 
         # Per-axis residuals from the ReLU'd GRU mid feature. The matmuls
         # run in the compute dtype (they are the decoder's biggest dense

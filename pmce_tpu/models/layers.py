@@ -111,6 +111,24 @@ class DenseParams(nn.Module):
         return kernel, bias
 
 
+class Conv1dParams(nn.Module):
+    """Owns a 1-D ``nn.Conv`` layer's parameters (same tree layout —
+    ``kernel`` [taps, in, out] + ``bias`` — and the same default
+    initializers) without applying them, so the convolution can be
+    computed as an explicit GEMM while staying checkpoint-compatible."""
+
+    taps: int
+    in_ch: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.taps, self.in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class LayerNormParams(nn.Module):
     """Owns ``nn.LayerNorm``-layout parameters (scale/bias) unapplied."""
 

@@ -74,7 +74,7 @@ def run_variant(variant: str) -> None:
 
         fa._attn_core = attn_mm_only
     if variant in ("noln", "matonly"):
-        fa._ln_f32 = lambda xf, scale, bias, eps: xf * scale + bias
+        fa._ln_f32 = lambda xf, scale, bias, eps, *a, **k: xf * scale + bias
     if variant == "matonly":
         fa._erf_f32 = lambda x: x
     if variant == "gelubf16":
