@@ -741,14 +741,21 @@ class BiGRU(nn.Module):
                 # lengths, so the directions scan separately.
                 xf, xb = x[: mid_index + 1], x[::-1][: T - mid_index]
                 if use_kernel:
-                    from pmce_tpu.ops.fused_attention import fused_gru_layer
+                    from pmce_tpu.ops.fused_attention import (
+                        fused_gru_layer,
+                        fused_gru_layer_rev,
+                    )
 
                     hf = fused_gru_layer(cells[0].precompute_inputs(xf),
                                          cells[0].hh_kernel(),
                                          cells[0].hh_bias())[-1]
-                    hb = fused_gru_layer(cells[1].precompute_inputs(xb),
-                                         cells[1].hh_kernel(),
-                                         cells[1].hh_bias())[-1]
+                    # Backward direction over rows mid..T−1: the reversed
+                    # scan's row 0 is the hidden state after the full
+                    # sweep (== the old x[::-1] formulation's [-1]), and
+                    # the [T−1−t] index maps replace the explicit reverse.
+                    hb = fused_gru_layer_rev(
+                        cells[1].precompute_inputs(x[mid_index:]),
+                        cells[1].hh_kernel(), cells[1].hh_bias())[0]
                     return jnp.concatenate([hf, hb], axis=-1)
                 outs = []
                 for cell, xd in zip(cells, (xf, xb)):
@@ -770,15 +777,24 @@ class BiGRU(nn.Module):
                     outs.append(h_last)
                 return jnp.concatenate(outs, axis=-1)
             if use_kernel:
-                from pmce_tpu.ops.fused_attention import fused_gru_layer
+                from pmce_tpu.ops.fused_attention import (
+                    fused_gru_layer,
+                    fused_gru_layer_rev,
+                )
 
                 ys_f = fused_gru_layer(cells[0].precompute_inputs(x),
                                        cells[0].hh_kernel(),
                                        cells[0].hh_bias())
-                ys_b = fused_gru_layer(cells[1].precompute_inputs(x[::-1]),
-                                       cells[1].hh_kernel(),
-                                       cells[1].hh_bias())
-                x = jnp.concatenate([ys_f, ys_b[::-1]], axis=-1)
+                # The backward direction consumes the SAME projections in
+                # reversed order (the projection is per-step), and the
+                # reversed-scan kernel emits its outputs already back in
+                # forward time order — both [T, B, ·] reversal copies of
+                # the old x[::-1] / ys_b[::-1] formulation fold into the
+                # kernel's index maps.
+                ys_b = fused_gru_layer_rev(cells[1].precompute_inputs(x),
+                                           cells[1].hh_kernel(),
+                                           cells[1].hh_bias())
+                x = jnp.concatenate([ys_f, ys_b], axis=-1)
                 continue
             # gi for both directions, each one fat [T, B, 3H] matmul.
             gi = jnp.stack([cells[0].precompute_inputs(x),

@@ -432,10 +432,16 @@ def _row_mean_mxu(xf, mxu: bool = False):
     if not mxu or xf.ndim != 2 or xf.shape[-1] > 128:
         return jnp.mean(xf, axis=-1, keepdims=True)
     R, C = xf.shape
-    w = jnp.concatenate([jnp.full((C, 1), 1.0 / C, jnp.float32),
-                         jnp.zeros((C, 7), jnp.float32)], axis=1)
-    s = jnp.dot(xf, w, preferred_element_type=jnp.float32)
-    return jax.lax.slice(s, (0, 0), (R, 1))
+    # All-lanes 1/C weight: the matmul emits the mean PRE-BROADCAST to
+    # every lane ([R, C], one lane tile — the same MXU pass count as a
+    # thin [C, 8] output). Every downstream consumer ((x−μ), μ², rsqrt,
+    # the γ/σ multiplies) then runs element-wise on natural [R, C]
+    # layouts: the previous [R, 1] thin-slice output forced a sublane-
+    # scalar relayout + lane re-broadcast per consumer, and the AdaLN
+    # knockout attributed 1.20 ms of the 5.53 ms chain to exactly those
+    # stat-op seams (tools/probe_chain.py, noadaln, this host).
+    w = jnp.full((C, C), 1.0 / C, jnp.float32)
+    return jnp.dot(xf, w, preferred_element_type=jnp.float32)
 
 
 def _ln_f32(xf, scale, bias, eps, mxu: bool = False):
@@ -2355,16 +2361,27 @@ def _gru_batch_tile(B: int) -> int:
     return B
 
 
-def _fused_gru_layer_impl(gi, whh, bhh):
+def _fused_gru_layer_impl(gi, whh, bhh, reverse: bool = False):
     T, B, threeH = gi.shape
     H = threeH // 3
     dtype = gi.dtype
     Bt = _gru_batch_tile(B)
 
-    step_block = pl.BlockSpec((1, Bt, 3 * H), lambda b, t: (t, b, 0),
-                              memory_space=pltpu.VMEM)
-    out_block = pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0),
-                             memory_space=pltpu.VMEM)
+    if reverse:
+        # Reversed-time scan via the index maps alone: grid step t reads
+        # gi row T−1−t and writes ys row T−1−t, so both the input
+        # reversal and the output re-reversal of a backward GRU direction
+        # cost zero HBM copies (they were [T, B, ·] rev ops in XLA).
+        step_block = pl.BlockSpec((1, Bt, 3 * H),
+                                  lambda b, t: (T - 1 - t, b, 0),
+                                  memory_space=pltpu.VMEM)
+        out_block = pl.BlockSpec((1, Bt, H), lambda b, t: (T - 1 - t, b, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        step_block = pl.BlockSpec((1, Bt, 3 * H), lambda b, t: (t, b, 0),
+                                  memory_space=pltpu.VMEM)
+        out_block = pl.BlockSpec((1, Bt, H), lambda b, t: (t, b, 0),
+                                 memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _gru_scan_kernel,
@@ -2530,6 +2547,37 @@ def _fused_gru_layer_bwd(res, g):
 
 
 fused_gru_layer.defvjp(_fused_gru_layer_fwd, _fused_gru_layer_bwd)
+
+
+@jax.custom_vjp
+def fused_gru_layer_rev(gi: jax.Array, whh: jax.Array,
+                        bhh: jax.Array) -> jax.Array:
+    """Backward-direction GRU-layer scan with zero reversal copies.
+
+    Semantics: ``fused_gru_layer_rev(gi)[t] ==
+    fused_gru_layer(gi[::-1])[T-1-t]`` — i.e. the backward direction of a
+    BiGRU, with its output already back in forward time order. The primal
+    folds both [T, B, ·] reversals into the kernel's BlockSpec index maps
+    (grid step t reads/writes row T−1−t), which under XLA were two real
+    HBM copies per layer per batch. The VJP delegates to the forward
+    layer's machinery on explicitly reversed arrays — the training path
+    keeps its measured backward kernels, only serving takes the zero-copy
+    route."""
+    return _fused_gru_layer_impl(gi, whh, bhh, reverse=True)
+
+
+def _fused_gru_layer_rev_fwd(gi, whh, bhh):
+    ys, res = _fused_gru_layer_fwd(jnp.flip(gi, 0), whh, bhh)
+    return jnp.flip(ys, 0), res
+
+
+def _fused_gru_layer_rev_bwd(res, g):
+    dgi, dwhh, dbhh = _fused_gru_layer_bwd(res, jnp.flip(g, 0))
+    return jnp.flip(dgi, 0), dwhh, dbhh
+
+
+fused_gru_layer_rev.defvjp(_fused_gru_layer_rev_fwd,
+                           _fused_gru_layer_rev_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -471,6 +471,46 @@ def test_fused_gru_layer_matches_reference():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_gru_layer_rev_matches_flipped_forward():
+    """rev(gi)[t] == fused(gi[::-1])[T-1-t] — the zero-copy backward
+    direction must be bit-identical to the explicit-reversal formulation
+    (same kernel arithmetic, only the index maps differ)."""
+    from pmce_tpu.ops.fused_attention import (
+        fused_gru_layer,
+        fused_gru_layer_rev,
+    )
+
+    rng = np.random.default_rng(31)
+    T, B, H = 9, 16, 64  # odd T: catches an off-by-one in T-1-t
+    gi = jnp.asarray(rng.normal(size=(T, B, 3 * H)), jnp.float32)
+    whh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.2, jnp.float32)
+    bhh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.2, jnp.float32)
+    ys_rev = fused_gru_layer_rev(gi, whh, bhh)
+    ys_ref = fused_gru_layer(gi[::-1], whh, bhh)[::-1]
+    np.testing.assert_array_equal(np.asarray(ys_rev), np.asarray(ys_ref))
+
+
+def test_fused_gru_layer_rev_gradients():
+    from pmce_tpu.ops.fused_attention import (
+        fused_gru_layer,
+        fused_gru_layer_rev,
+    )
+
+    rng = np.random.default_rng(32)
+    T, B, H = 5, 8, 32
+    gi = jnp.asarray(rng.normal(size=(T, B, 3 * H)), jnp.float32)
+    whh = jnp.asarray(rng.normal(size=(H, 3 * H)) * 0.2, jnp.float32)
+    bhh = jnp.asarray(rng.normal(size=(3 * H,)) * 0.2, jnp.float32)
+    g0 = jax.grad(lambda *a: jnp.sum(fused_gru_layer_rev(*a) ** 2),
+                  argnums=(0, 1, 2))(gi, whh, bhh)
+    g1 = jax.grad(
+        lambda gi_, w, b: jnp.sum(fused_gru_layer(gi_[::-1], w, b) ** 2),
+        argnums=(0, 1, 2))(gi, whh, bhh)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("T,B,H", [(6, 8, 32), (3, 128, 16)])
 def test_fused_gru_layer_gradients(T, B, H):
     """Incl. a batch above the backward's 64-row tile cap: the reverse

@@ -38,14 +38,14 @@ def run_variant(variant: str) -> None:
     import pmce_tpu.ops.fused_coevo_chain as fc
 
     def attn_mm_only(h, wqkv, bqkv, wproj, bproj, mask01, num_heads,
-                     *extra):
+                     *extra, **kw):
         C = h.shape[1]
         qkv = jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
         o = (qkv[:, :C] + bqkv[:, :C]).astype(h.dtype)
         return jnp.dot(o, wproj, preferred_element_type=jnp.float32) + bproj
 
     def ca_mm_only(q_in, k_in, v_in, wq, bq, wk, bk, wv, bv, wproj, bproj,
-                   kv_mask, num_heads):
+                   kv_mask, num_heads, *extra, **kw):
         q = (jnp.dot(q_in, wq, preferred_element_type=jnp.float32)
              + bq).astype(q_in.dtype)
         return jnp.dot(q, wproj, preferred_element_type=jnp.float32) + bproj
@@ -57,7 +57,11 @@ def run_variant(variant: str) -> None:
     if variant in ("noca", "matonly"):
         fc._cross_attn_core = ca_mm_only
     if variant in ("noadaln", "matonly"):
-        fc._adaln_f32 = lambda xf, gamma, beta, eps: xf * gamma + beta
+        fc._adaln_f32 = (
+            lambda xf, gamma, beta, eps, mxu=False: xf * gamma + beta)
+    if variant.startswith("g") and variant[1:].isdigit():
+        # gN: clip-group size N (base is the shipped _pick_clip_group).
+        fc._pick_clip_group = lambda B, g=int(variant[1:]): g
 
     B, J, V, C, NB = 256, 19, 431, 64, 3
     HJ, HV = 8, 2
